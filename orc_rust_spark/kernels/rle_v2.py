@@ -383,6 +383,8 @@ def _extract_run_length(first_byte: int, second_byte: int) -> int:
 
 def rle_v2_decode(buf, n: int, signed: bool = True) -> np.ndarray:
     """Decode n values from an RLEv2 byte stream; returns int64 array."""
+    if n == 0:
+        return np.empty(0, dtype=I64)
     buf = memoryview(buf)
     chunks: list[np.ndarray] = []
     got = 0

@@ -1,0 +1,143 @@
+"""End-to-end encode pipeline: partition -> encode -> commit waves ->
+manifest, with idempotent resume.
+
+Scale design (north_rule): the corpus is split into `waves` of disjoint
+doc_id ranges (boundaries from a deterministic seeded sample, the same
+scheme Spark's RangePartitioner uses).  Each wave is one Spark job whose
+output directory commit (parquet `_SUCCESS`) is the checkpoint; a re-run
+skips completed waves, so a driver/executor kill between waves resumes
+exactly after the last committed stripe set.  Within a wave,
+`repartitionByRange(doc_id) + sortWithinPartitions` makes stripe
+contents (and therefore blob checksums) a pure function of the input —
+the determinism the lineage manifest requires.
+
+The stripes table doubles as the manifest: reading it without the
+`blob` column is a parquet column-pruned scan that never fetches blob
+bytes (`.explain` shows ReadSchema without blob), the same trick as the
+reference fetching only projected streams (`src/stripe.rs:154-165`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..operators.decode import decode_pass, spark_schema_for
+from ..operators.encode import MANIFEST_COLUMNS, encode_pass
+from ..functions.tokens import TOKEN_SCHEMA
+from ..stripes import ColumnPlan
+
+import pyarrow as pa
+
+TOKEN_PA_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()), ("source", pa.string()),
+])
+
+
+def _wave_boundaries(df: DataFrame, waves: int, seed: int = 42) -> list[str]:
+    """Deterministic doc_id quantile boundaries from a seeded sample."""
+    if waves <= 1:
+        return []
+    sample = (
+        df.select("doc_id").sample(fraction=min(1.0, 20000 * waves / max(df.count(), 1)),
+                                   seed=seed)
+        .toPandas()["doc_id"].sort_values().tolist()
+    )
+    if not sample:
+        return []
+    return [sample[int(len(sample) * k / waves)] for k in range(1, waves)]
+
+
+def encode_corpus(
+    df: DataFrame,
+    out_dir: str,
+    stripe_tokens: int = 1 << 21,
+    waves: int = 1,
+    partitions: int | None = None,
+    plans: dict[str, ColumnPlan] | None = None,
+    seed: int = 42,
+) -> dict:
+    """Encode a token DataFrame to `out_dir` (one subdir per wave).
+
+    Returns {waves_run, waves_skipped, wall_sec}."""
+    spark = df.sparkSession
+    t0 = time.monotonic()
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    bounds = _wave_boundaries(df, waves, seed)
+    waves_run = 0
+    waves_skipped = 0
+    for w in range(max(waves, 1)):
+        wave_dir = os.path.join(out_dir, f"wave={w}")
+        if os.path.exists(os.path.join(wave_dir, "_SUCCESS")):
+            waves_skipped += 1
+            continue
+        sub = df
+        if bounds:
+            lo = bounds[w - 1] if w > 0 else None
+            hi = bounds[w] if w < len(bounds) else None
+            if lo is not None:
+                sub = sub.filter(F.col("doc_id") >= lo)
+            if hi is not None:
+                sub = sub.filter(F.col("doc_id") < hi)
+        per_wave_parts = max(partitions // max(waves, 1), 1) if waves > 1 else partitions
+        sub = sub.repartitionByRange(per_wave_parts, "doc_id") \
+                 .sortWithinPartitions("doc_id")
+        encode_pass(sub, stripe_tokens, plans).write.mode("overwrite").parquet(wave_dir)
+        waves_run += 1
+    return {"waves_run": waves_run, "waves_skipped": waves_skipped,
+            "wall_sec": time.monotonic() - t0}
+
+
+def read_stripes(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "wave=*"))
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Lineage manifest view — column pruning keeps blob bytes unread."""
+    return read_stripes(spark, out_dir).select(*MANIFEST_COLUMNS)
+
+
+def decode_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    doc_id_range: tuple[str | None, str | None] | None = None,
+) -> DataFrame:
+    """Decode stripes back to rows.  `doc_id_range` prunes whole stripes
+    via the manifest min/max columns before any blob is read — the
+    row-group-skip analog (`src/row_group_filter.rs:51-62`)."""
+    stripes = read_stripes(spark, out_dir)
+    if doc_id_range is not None:
+        lo, hi = doc_id_range
+        if lo is not None:
+            stripes = stripes.filter(F.col("doc_id_max") >= lo)
+        if hi is not None:
+            stripes = stripes.filter(F.col("doc_id_min") <= hi)
+    out_schema = TOKEN_SCHEMA if columns is None else spark_schema_for(
+        pa.schema([f for f in TOKEN_PA_SCHEMA if f.name in columns]))
+    df = decode_pass(stripes, out_schema, columns)
+    if doc_id_range is not None and (columns is None or "doc_id" in (columns or [])):
+        lo, hi = doc_id_range
+        if lo is not None:
+            df = df.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            df = df.filter(F.col("doc_id") <= hi)
+    return df
+
+
+def verify_roundtrip(token_df: DataFrame, spark: SparkSession, out_dir: str) -> dict:
+    """Per-row invariant: tokens_out == tokens_in exactly (input_hint)."""
+    decoded = decode_corpus(spark, out_dir)
+    left = token_df.select("doc_id", F.col("tokens").alias("t_in"))
+    right = decoded.select("doc_id", F.col("tokens").alias("t_out"))
+    joined = left.join(right, "doc_id", "full_outer")
+    bad = joined.filter(
+        F.col("t_in").isNull() | F.col("t_out").isNull()
+        | ~(F.col("t_in").eqNullSafe(F.col("t_out")))
+    ).count()
+    total = left.count()
+    return {"rows": total, "mismatches": bad}

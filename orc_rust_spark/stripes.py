@@ -1,0 +1,503 @@
+"""Stripe encode/decode: an Arrow RecordBatch <-> one self-describing
+binary stripe blob with per-column streams.
+
+This is our engine's analog of the reference's stripe writer/reader
+(`src/writer/stripe.rs:65-171`, `src/stripe.rs:119-182`): each column is
+encoded independently into streams keyed (column, kind); values and
+validity are separated — a PRESENT stream (boolean bit-RLE,
+`src/encoding/boolean.rs:116-169`) is emitted only when the column has
+nulls, and data streams store only the non-null values which decode
+re-spaces (`src/encoding/mod.rs:64-91` decode_spaced).  Column-type ->
+codec defaults mirror `src/writer/stripe.rs:173-189` (ints -> RLEv2
+signed, int8 -> byte RLE, floats -> raw IEEE-754, strings -> direct +
+LENGTH, bool -> bit-RLE); beyond the reference we add dictionary, FoR,
+bit-pack and FSST with deterministic auto-selection (BASELINE.json
+north_star).
+
+Blob layout (little header, then concatenated streams):
+    magic  b"OSP1"
+    varint n_rows, varint n_cols
+    per column: varint len(name), name, u8 type_code, u8 has_present,
+                u8 codec, varint aux (dict size; else 0)
+    varint n_streams
+    per stream: varint col_idx, u8 stream_kind, varint byte_len
+    stream bytes...
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .kernels.boolean import boolean_decode, boolean_encode
+from .kernels.byte_rle import byte_rle_decode, byte_rle_encode
+from .kernels.float_codec import float_decode, float_encode
+from .kernels.for_codec import (
+    bitpack_decode,
+    bitpack_encode,
+    for_decode,
+    for_encode,
+    int_dict_decode,
+    int_dict_encode,
+)
+from .kernels.rle_v2 import rle_v2_decode, rle_v2_encode
+from .kernels.util import read_varint, write_varint
+
+MAGIC = b"OSP1"
+
+# type codes
+T_INT8, T_INT16, T_INT32, T_INT64 = 1, 2, 3, 4
+T_FLOAT32, T_FLOAT64 = 5, 6
+T_STRING, T_BINARY = 7, 8
+T_BOOL = 9
+T_LIST_INT32 = 10
+T_DATE32 = 11
+T_TIMESTAMP_US = 12
+
+# codec codes
+C_RAW = 0
+C_RLEV2 = 1
+C_BYTE_RLE = 3
+C_BOOLEAN = 4
+C_FLOAT = 5
+C_STRING_DIRECT = 6
+C_STRING_DICT = 7
+C_FOR = 8
+C_BITPACK = 9
+C_INT_DICT = 10
+C_FSST = 11
+
+CODEC_NAMES = {
+    C_RAW: "raw", C_RLEV2: "rlev2", C_BYTE_RLE: "byte_rle", C_BOOLEAN: "boolean",
+    C_FLOAT: "float", C_STRING_DIRECT: "string_direct", C_STRING_DICT: "string_dict",
+    C_FOR: "for", C_BITPACK: "bitpack", C_INT_DICT: "int_dict", C_FSST: "fsst",
+}
+
+# stream kinds (mirrors proto.rs:192-209 stream kinds we need)
+K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_DICT_LENGTH, K_SECONDARY = 0, 1, 2, 3, 4, 5
+
+_PA_TYPE_CODES = {
+    pa.int8(): T_INT8,
+    pa.int16(): T_INT16,
+    pa.int32(): T_INT32,
+    pa.int64(): T_INT64,
+    pa.float32(): T_FLOAT32,
+    pa.float64(): T_FLOAT64,
+    pa.string(): T_STRING,
+    pa.large_string(): T_STRING,
+    pa.binary(): T_BINARY,
+    pa.bool_(): T_BOOL,
+    pa.date32(): T_DATE32,
+    pa.timestamp("us"): T_TIMESTAMP_US,
+}
+
+_INT_TYPES = {T_INT16, T_INT32, T_INT64, T_DATE32, T_TIMESTAMP_US}
+
+
+def _type_code(t: pa.DataType) -> int:
+    if t in _PA_TYPE_CODES:
+        return _PA_TYPE_CODES[t]
+    if pa.types.is_list(t) and t.value_type in (pa.int32(), pa.int64()):
+        return T_LIST_INT32
+    if pa.types.is_timestamp(t):
+        return T_TIMESTAMP_US
+    raise TypeError(f"unsupported column type: {t}")
+
+
+def _arrow_type(code: int) -> pa.DataType:
+    return {
+        T_INT8: pa.int8(), T_INT16: pa.int16(), T_INT32: pa.int32(), T_INT64: pa.int64(),
+        T_FLOAT32: pa.float32(), T_FLOAT64: pa.float64(), T_STRING: pa.string(),
+        T_BINARY: pa.binary(), T_BOOL: pa.bool_(), T_LIST_INT32: pa.list_(pa.int32()),
+        T_DATE32: pa.date32(), T_TIMESTAMP_US: pa.timestamp("us"),
+    }[code]
+
+
+# ---------------------------------------------------------------------------
+# integer codec auto-selection (§4.3 of SURVEY: the part Catalyst can't do)
+# ---------------------------------------------------------------------------
+
+def encode_int_auto(values: np.ndarray, candidates: tuple[int, ...] = (C_RLEV2, C_FOR, C_INT_DICT)) -> tuple[int, bytes]:
+    """Deterministically pick the smallest encoding among candidates.
+
+    RLEv2 (the reference's own choice for int columns,
+    `src/writer/stripe.rs:178-180`) is always a candidate, so the chosen
+    size is <= the reference's compressed size by construction.
+    Ties break by candidate order (deterministic resume requirement).
+    """
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    best_codec, best = None, None
+    for c in candidates:
+        if c == C_RLEV2:
+            enc = rle_v2_encode(v, signed=True)
+        elif c == C_FOR:
+            enc = for_encode(v)
+        elif c == C_BITPACK:
+            if len(v) and v.min() < 0:
+                continue
+            enc = bitpack_encode(v)
+        elif c == C_INT_DICT:
+            # only worth trying when cardinality is low enough to pay off
+            if len(v) > 64 and len(np.unique(v[:: max(len(v) // 1024, 1)])) > 256:
+                continue
+            enc = int_dict_encode(v)
+        else:
+            continue
+        if best is None or len(enc) < len(best):
+            best_codec, best = c, enc
+    assert best is not None
+    return best_codec, best
+
+
+def _decode_int(codec: int, buf: bytes, n: int) -> np.ndarray:
+    if codec == C_RLEV2:
+        return rle_v2_decode(buf, n, signed=True)
+    if codec == C_FOR:
+        return for_decode(buf)
+    if codec == C_BITPACK:
+        return bitpack_decode(buf)
+    if codec == C_INT_DICT:
+        return int_dict_decode(buf)
+    raise ValueError(f"unknown int codec {codec}")
+
+
+# ---------------------------------------------------------------------------
+# string codecs at the stripe level
+# ---------------------------------------------------------------------------
+
+def _encode_string_auto(arr: pa.Array, fsst_encode=None) -> tuple[int, int, dict[int, bytes]]:
+    """Returns (codec, aux, streams). Dictionary when it wins, else direct
+    (optionally FSST-compressed blob)."""
+    # non-null values as offsets/data via Arrow buffers (vectorized)
+    comb = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    valid = comb.drop_null()
+    data_blob = valid.cast(pa.large_binary()).buffers()[2]
+    data_blob = data_blob.to_pybytes() if data_blob is not None else b""
+    offsets = np.frombuffer(valid.cast(pa.large_binary()).buffers()[1], dtype=np.int64)
+    lengths = np.diff(offsets)
+    n = len(valid)
+
+    length_stream = rle_v2_encode(lengths, signed=False)
+    direct_size = len(data_blob) + len(length_stream)
+
+    # dictionary attempt: sample cardinality first
+    codec, aux = C_STRING_DIRECT, 0
+    streams = {K_DATA: data_blob, K_LENGTH: length_stream}
+    if n > 64:
+        step = max(n // 1024, 1)
+        sample = valid.take(np.arange(0, n, step))
+        card = len(sample.unique())
+        if card <= max(len(sample) // 2, 1):
+            uniq_arr, indices = _factorize_binary(valid)
+            dict_blob = b"".join(uniq_arr)
+            dict_lengths = np.fromiter((len(u) for u in uniq_arr), dtype=np.int64,
+                                       count=len(uniq_arr))
+            idx_stream = rle_v2_encode(indices, signed=False)
+            dl_stream = rle_v2_encode(dict_lengths, signed=False)
+            dict_size = len(dict_blob) + len(idx_stream) + len(dl_stream)
+            if dict_size < direct_size:
+                codec, aux = C_STRING_DICT, len(uniq_arr)
+                streams = {K_DATA: idx_stream, K_DICT_LENGTH: dl_stream,
+                           K_DICT_DATA: dict_blob}
+    return codec, aux, streams
+
+
+def _factorize_binary(valid: pa.Array) -> tuple[list[bytes], np.ndarray]:
+    """Sorted-unique + inverse indices over a binary/string Arrow array."""
+    dct = valid.dictionary_encode()
+    dictionary = dct.dictionary.cast(pa.binary()).to_pylist()
+    indices = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(np.array(dictionary, dtype=object))
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    sorted_dict = [dictionary[i] for i in order]
+    return sorted_dict, rank[indices]
+
+
+# ---------------------------------------------------------------------------
+# stripe encode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ColumnPlan:
+    """Optional per-column codec override (from the sampling pass)."""
+    codec: int | None = None
+
+
+def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = None) -> bytes:
+    plans = plans or {}
+    n_rows = batch.num_rows
+    header = bytearray()
+    stream_dir = bytearray()
+    payload = bytearray()
+    col_metas = []
+    all_streams: list[tuple[int, int, bytes]] = []
+
+    for ci, field in enumerate(batch.schema):
+        arr = batch.column(ci)
+        tcode = _type_code(field.type)
+        null_count = arr.null_count
+        has_present = 1 if null_count > 0 else 0
+        streams: dict[int, bytes] = {}
+        if has_present:
+            validity = np.asarray(arr.is_valid())
+            streams[K_PRESENT] = boolean_encode(validity)
+            valid_arr = arr.drop_null()
+        else:
+            valid_arr = arr
+
+        plan = plans.get(field.name, ColumnPlan())
+        aux = 0
+
+        if tcode in _INT_TYPES:
+            if tcode == T_TIMESTAMP_US:
+                vals = valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            elif tcode == T_DATE32:
+                vals = valid_arr.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            if plan.codec is not None:
+                codec = plan.codec
+                if codec == C_RLEV2:
+                    data = rle_v2_encode(vals, signed=True)
+                elif codec == C_FOR:
+                    data = for_encode(vals)
+                elif codec == C_BITPACK:
+                    data = bitpack_encode(vals)
+                elif codec == C_INT_DICT:
+                    data = int_dict_encode(vals)
+                else:
+                    raise ValueError(f"bad int codec plan {codec}")
+            else:
+                codec, data = encode_int_auto(vals)
+            streams[K_DATA] = data
+        elif tcode == T_INT8:
+            vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int8)
+            codec = C_BYTE_RLE
+            streams[K_DATA] = byte_rle_encode(vals)
+        elif tcode in (T_FLOAT32, T_FLOAT64):
+            dt = np.float32 if tcode == T_FLOAT32 else np.float64
+            vals = valid_arr.to_numpy(zero_copy_only=False).astype(dt)
+            codec = C_FLOAT
+            streams[K_DATA] = float_encode(vals)
+        elif tcode == T_BOOL:
+            vals = valid_arr.to_numpy(zero_copy_only=False).astype(bool)
+            codec = C_BOOLEAN
+            streams[K_DATA] = boolean_encode(vals)
+        elif tcode in (T_STRING, T_BINARY):
+            codec, aux, sstreams = _encode_string_auto(valid_arr)
+            streams.update(sstreams)
+        elif tcode == T_LIST_INT32:
+            comb = valid_arr.combine_chunks() if isinstance(valid_arr, pa.ChunkedArray) else valid_arr
+            lv = comb.cast(pa.list_(pa.int32()))
+            flat = lv.flatten()
+            row_lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            streams[K_LENGTH] = rle_v2_encode(row_lengths, signed=False)
+            child = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+            if plan.codec is not None:
+                codec = plan.codec
+                data = {C_RLEV2: rle_v2_encode, C_FOR: for_encode,
+                        C_BITPACK: bitpack_encode, C_INT_DICT: int_dict_encode}[codec](
+                    child) if codec != C_RLEV2 else rle_v2_encode(child, signed=True)
+            else:
+                codec, data = encode_int_auto(child)
+            streams[K_DATA] = data
+        else:
+            raise TypeError(f"unsupported type code {tcode}")
+
+        col_metas.append((field.name, tcode, has_present, codec, aux))
+        for kind, blob in sorted(streams.items()):
+            all_streams.append((ci, kind, blob))
+
+    header += MAGIC
+    write_varint(header, n_rows)
+    write_varint(header, batch.num_columns)
+    for name, tcode, has_present, codec, aux in col_metas:
+        nb = name.encode()
+        write_varint(header, len(nb))
+        header += nb
+        header.append(tcode)
+        header.append(has_present)
+        header.append(codec)
+        write_varint(header, aux)
+    write_varint(stream_dir, len(all_streams))
+    for ci, kind, blob in all_streams:
+        write_varint(stream_dir, ci)
+        stream_dir.append(kind)
+        write_varint(stream_dir, len(blob))
+        payload += blob
+    return bytes(header + stream_dir + payload)
+
+
+# ---------------------------------------------------------------------------
+# stripe decode
+# ---------------------------------------------------------------------------
+
+def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
+    """Decode a stripe; `columns` projects (unprojected streams are never
+    touched — the analog of `src/projection.rs` + `src/stripe.rs:159`)."""
+    buf = memoryview(blob)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("bad stripe magic")
+    pos = 4
+    n_rows, pos = read_varint(buf, pos)
+    n_cols, pos = read_varint(buf, pos)
+    metas = []
+    for _ in range(n_cols):
+        ln, pos = read_varint(buf, pos)
+        name = bytes(buf[pos : pos + ln]).decode()
+        pos += ln
+        tcode = buf[pos]
+        has_present = buf[pos + 1]
+        codec = buf[pos + 2]
+        pos += 3
+        aux, pos = read_varint(buf, pos)
+        metas.append((name, tcode, has_present, codec, aux))
+    n_streams, pos = read_varint(buf, pos)
+    dir_entries = []
+    for _ in range(n_streams):
+        ci, pos = read_varint(buf, pos)
+        kind = buf[pos]
+        pos += 1
+        ln, pos = read_varint(buf, pos)
+        dir_entries.append((ci, kind, ln))
+    # stream offsets
+    offset = pos
+    stream_loc: dict[tuple[int, int], tuple[int, int]] = {}
+    for ci, kind, ln in dir_entries:
+        stream_loc[(ci, kind)] = (offset, ln)
+        offset += ln
+
+    want = set(columns) if columns is not None else None
+    out_arrays = []
+    out_fields = []
+    for ci, (name, tcode, has_present, codec, aux) in enumerate(metas):
+        if want is not None and name not in want:
+            continue
+
+        def stream(kind: int) -> memoryview:
+            off, ln = stream_loc[(ci, kind)]
+            return buf[off : off + ln]
+
+        if has_present:
+            validity = boolean_decode(stream(K_PRESENT), n_rows)
+            n_valid = int(validity.sum())
+        else:
+            validity = None
+            n_valid = n_rows
+
+        atype = _arrow_type(tcode)
+        if tcode in _INT_TYPES:
+            vals = _decode_int(codec, stream(K_DATA), n_valid)
+            arr = _respace_primitive(vals, validity, n_rows, atype)
+        elif tcode == T_INT8:
+            vals = byte_rle_decode(stream(K_DATA), n_valid).view(np.int8)
+            arr = _respace_primitive(vals.astype(np.int64), validity, n_rows, atype)
+        elif tcode in (T_FLOAT32, T_FLOAT64):
+            dt = np.float32 if tcode == T_FLOAT32 else np.float64
+            vals = float_decode(stream(K_DATA), n_valid, dt)
+            arr = _respace_float(vals, validity, n_rows, atype)
+        elif tcode == T_BOOL:
+            vals = boolean_decode(stream(K_DATA), n_valid)
+            arr = _respace_primitive(vals.astype(np.int64), validity, n_rows, atype)
+        elif tcode in (T_STRING, T_BINARY):
+            arr = _decode_string(codec, aux, stream, n_valid, validity, n_rows, atype)
+        elif tcode == T_LIST_INT32:
+            row_lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
+            total = int(row_lengths.sum())
+            child = _decode_int(codec, stream(K_DATA), total).astype(np.int32)
+            offsets_valid = np.zeros(n_valid + 1, dtype=np.int64)
+            np.cumsum(row_lengths, out=offsets_valid[1:])
+            if validity is None:
+                offsets = offsets_valid.astype(np.int32)
+                arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                               pa.array(child, pa.int32()))
+            else:
+                # re-space offsets: null rows repeat the previous offset
+                offsets = np.zeros(n_rows + 1, dtype=np.int64)
+                idx = np.cumsum(validity)  # for each row, count of valid rows so far
+                offsets[1:] = offsets_valid[idx]
+                arr = pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32), pa.int32()),
+                    pa.array(child, pa.int32()),
+                    mask=pa.array(~validity),
+                )
+        else:
+            raise TypeError(f"unsupported type code {tcode}")
+        out_arrays.append(arr)
+        out_fields.append(pa.field(name, atype))
+    return pa.RecordBatch.from_arrays(out_arrays, schema=pa.schema(out_fields))
+
+
+def stripe_num_rows(blob) -> int:
+    buf = memoryview(blob)
+    n_rows, _ = read_varint(buf, 4)
+    return n_rows
+
+
+def _respace_primitive(vals: np.ndarray, validity, n_rows: int, atype) -> pa.Array:
+    """decode_spaced (`src/encoding/mod.rs:64-91`): out[mask] = decoded."""
+    if validity is None:
+        return pa.array(vals, type=atype)
+    if atype == pa.bool_():
+        out = np.zeros(n_rows, dtype=bool)
+        out[validity] = vals.astype(bool)
+        return pa.array(out, type=atype, mask=~validity)
+    out = np.zeros(n_rows, dtype=np.int64)
+    out[validity] = vals
+    return pa.array(out, type=atype, mask=~validity)
+
+
+def _respace_float(vals: np.ndarray, validity, n_rows: int, atype) -> pa.Array:
+    if validity is None:
+        return pa.array(vals, type=atype)
+    out = np.zeros(n_rows, dtype=vals.dtype)
+    out[validity] = vals
+    return pa.array(out, type=atype, mask=~validity)
+
+
+def _decode_string(codec, aux, stream, n_valid, validity, n_rows, atype) -> pa.Array:
+    if codec == C_STRING_DIRECT:
+        lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
+        blob = stream(K_DATA)
+        offsets_valid = np.zeros(n_valid + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets_valid[1:])
+        if validity is None:
+            values = pa.Array.from_buffers(
+                pa.large_binary(), n_valid,
+                [None, pa.py_buffer(offsets_valid.tobytes()), pa.py_buffer(bytes(blob))],
+            )
+            return values.cast(atype)
+        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        idx = np.cumsum(validity)
+        offsets[1:] = offsets_valid[idx]
+        nullmask = np.packbits(validity, bitorder="little")
+        values = pa.Array.from_buffers(
+            pa.large_binary(), n_rows,
+            [pa.py_buffer(nullmask.tobytes()), pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(bytes(blob))],
+            null_count=int(n_rows - validity.sum()),
+        )
+        return values.cast(atype)
+    if codec == C_STRING_DICT:
+        dict_size = aux
+        dict_lengths = rle_v2_decode(stream(K_DICT_LENGTH), dict_size, signed=False)
+        dblob = stream(K_DICT_DATA)
+        doffsets = np.zeros(dict_size + 1, dtype=np.int64)
+        np.cumsum(dict_lengths, out=doffsets[1:])
+        dictionary = pa.Array.from_buffers(
+            pa.large_binary(), dict_size,
+            [None, pa.py_buffer(doffsets.tobytes()), pa.py_buffer(bytes(dblob))],
+        ).cast(pa.binary())
+        indices = rle_v2_decode(stream(K_DATA), n_valid, signed=False)
+        if validity is None:
+            darr = pa.DictionaryArray.from_arrays(pa.array(indices, pa.int32()), dictionary)
+            return darr.cast(atype)
+        full_idx = np.zeros(n_rows, dtype=np.int64)
+        full_idx[validity] = indices
+        darr = pa.DictionaryArray.from_arrays(
+            pa.array(full_idx, pa.int32(), mask=~validity), dictionary)
+        return darr.cast(atype)
+    raise ValueError(f"unknown string codec {codec}")
