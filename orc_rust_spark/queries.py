@@ -1,0 +1,488 @@
+"""Query registry: every operator surface exposed as a (Spark query,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Three groups:
+
+1. **Codec engine round-trips** — each `/root/testdata` table is pushed
+   through encode_relation -> decode_relation (the engine's
+   ArrowWriter/ArrowReader analog, SURVEY §2.3) and returned; the oracle
+   is an identity SELECT, so the driver's value-hash compares *every
+   decoded cell* against the parquet ground truth.
+2. **Token pipeline** — tokenize -> stripe encode -> decode -> project /
+   prune, mirroring the primary input contract (BASELINE input_hint).
+3. **Training-data ops** — dedup (exact / MinHash-LSH / n-gram Jaccard /
+   SimHash), similarity search, text analysis (lang-id, quality, token
+   count, fingerprint).  Where the computation is expressible in both
+   dialects it is generated from shared fragments so Spark and DuckDB
+   compute *identical* integer/string results.
+
+Shared-fragment SQL keeps float hashing out of the compare: outputs are
+ints, strings, or raw round-tripped values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from .functions.tokens import TOKEN_SCHEMA, tokens_from_documents
+from .operators.encode import encode_pass
+from .operators.decode import decode_pass
+from .operators.relation import roundtrip_relation
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# dialect fragments: identical semantics in Spark SQL and DuckDB SQL
+# ---------------------------------------------------------------------------
+
+def _frag(sp: bool) -> dict[str, str]:
+    return {
+        "words": "split(text, ' ')" if sp else "string_split(text, ' ')",
+        "size": "size" if sp else "len",
+        "amin": "array_min" if sp else "list_min",
+        "xform": "transform" if sp else "list_transform",
+        "afilter": "filter" if sp else "list_filter",
+        "adistinct": "array_distinct" if sp else "list_distinct",
+        "aintersect": "array_intersect" if sp else "list_intersect",
+        "seq": "sequence" if sp else "generate_series",
+    }
+
+
+def _shingle(sp: bool, k: int, arr: str = "words", idx: str = "i") -> str:
+    """String of k consecutive words starting at 1-based idx."""
+    if sp:
+        return f"concat_ws(' ', slice({arr}, {idx}, {k}))"
+    return f"array_to_string({arr}[{idx}:{idx}+{k - 1}], ' ')"
+
+
+def _shingles_cte(sp: bool, k: int) -> str:
+    f = _frag(sp)
+    return (
+        f"w AS (SELECT doc_id, lang, {f['words']} AS words FROM documents), "
+        f"s AS (SELECT doc_id, lang, {f['xform']}({f['seq']}(1, "
+        f"greatest({f['size']}(words) - {k - 1}, 1)), i -> {_shingle(sp, k)}) "
+        f"AS shingles FROM w)"
+    )
+
+
+def _lsum(sp: bool, expr: str) -> str:
+    if sp:
+        return f"aggregate({expr}, 0L, (acc, x) -> acc + CAST(x AS LONG))"
+    return f"CAST(list_sum({expr}) AS BIGINT)"
+
+
+def _shift(sp: bool, v: str, b: int) -> str:
+    return f"shiftright({v}, {b})" if sp else f"({v} >> {b})"
+
+
+# ---------------------------------------------------------------------------
+# SQL builders (one string per dialect)
+# ---------------------------------------------------------------------------
+
+def sql_token_count(sp: bool) -> str:
+    f = _frag(sp)
+    return (f"SELECT doc_id, CAST({f['size']}({f['words']}) AS INT) AS n_words, "
+            f"CAST(length(text) AS BIGINT) AS n_chars_q "
+            f"FROM documents")
+
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+
+
+def sql_text_quality(sp: bool) -> str:
+    f = _frag(sp)
+    w = f["words"]
+    return (
+        "SELECT doc_id, "
+        f"CAST(length(text) AS BIGINT) AS n_chars_q, "
+        f"CAST({f['size']}({w}) AS INT) AS n_words, "
+        f"CAST({f['size']}({f['adistinct']}({w})) AS INT) AS n_uniq_words, "
+        f"CAST({f['size']}({f['afilter']}({w}, x -> x IN {_STOPWORDS})) AS INT) AS n_stop, "
+        f"CAST({f['size']}({f['afilter']}({w}, x -> length(x) >= 6)) AS INT) AS n_long_words, "
+        # quality gate on pure integer arithmetic => hash-stable
+        f"CAST(CASE WHEN {f['size']}({w}) >= 20 "
+        f"AND 10 * {f['size']}({f['adistinct']}({w})) >= 3 * {f['size']}({w}) "
+        f"THEN 1 ELSE 0 END AS INT) AS is_quality "
+        "FROM documents"
+    )
+
+
+_LANG_MARKERS = {
+    "db": ("table", "scan", "join", "hash", "merge", "sort", "index"),
+    "en": ("the", "fast", "small", "key"),
+    "misc": ("order", "part", "dup", "range"),
+    "stream": ("window", "batch", "stream", "spark"),
+}
+
+
+def sql_lang_id(sp: bool) -> str:
+    f = _frag(sp)
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        in_list = "(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        scores.append(
+            f"CAST({f['size']}({f['afilter']}(words, x -> x IN {in_list})) AS INT) AS s_{lang}")
+    langs = sorted(_LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs) + " END"
+    return (
+        f"WITH w AS (SELECT doc_id, lang, {f['words']} AS words FROM documents), "
+        f"sc AS (SELECT doc_id, lang, {', '.join(scores)} FROM w) "
+        f"SELECT doc_id, lang, {case} AS pred_lang, "
+        + ", ".join(f"s_{lang}" for lang in langs)
+        + " FROM sc"
+    )
+
+
+def sql_fingerprint(sp: bool) -> str:
+    f = _frag(sp)
+    return (
+        f"WITH {_shingles_cte(sp, 5)} "
+        "SELECT doc_id, "
+        f"{f['amin']}({f['xform']}(shingles, x -> md5(x))) AS min_shingle_fp, "
+        f"md5(concat('v1:', CAST(doc_id AS {'STRING' if sp else 'VARCHAR'}))) AS id_fp "
+        "FROM s"
+    )
+
+
+def sql_exact_dedup(sp: bool) -> str:
+    return (
+        "SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+N_MINHASH = 8
+
+
+def sql_minhash_signature(sp: bool) -> str:
+    f = _frag(sp)
+    hashes = ", ".join(
+        f"{f['amin']}({f['xform']}(shingles, x -> md5(concat('{i}:', x)))) AS h{i}"
+        for i in range(N_MINHASH))
+    return f"WITH {_shingles_cte(sp, 5)} SELECT doc_id, {hashes} FROM s"
+
+
+def sql_minhash_lsh_pairs_oracle() -> str:
+    """DuckDB oracle for LSH candidate pairs + exact-Jaccard confirm.
+
+    Bands of 2 hashes; a pair is a candidate if any band collides; kept
+    if 5*|inter| >= |union| (Jaccard >= 0.2) on distinct 5-shingles.
+    The Spark side computes the same thing with an explode+equi-join
+    (scalable form); this OR-join form is oracle-only.
+    """
+    sig = sql_minhash_signature(False)
+    bands = " OR ".join(
+        f"(a.h{2 * b} = b.h{2 * b} AND a.h{2 * b + 1} = b.h{2 * b + 1})"
+        for b in range(N_MINHASH // 2))
+    return (
+        f"WITH sig AS ({sig}), "
+        "sh AS (SELECT doc_id, list_distinct(shingles) AS ds FROM "
+        f"(WITH {_shingles_cte(False, 5)} SELECT doc_id, shingles FROM s)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+        f"FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands})) "
+        "SELECT ida, idb, "
+        "CAST(len(list_intersect(x.ds, y.ds)) AS INT) AS inter, "
+        "CAST(len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds)) AS INT) AS uni "
+        "FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb "
+        "WHERE 5 * len(list_intersect(x.ds, y.ds)) >= "
+        "len(x.ds) + len(y.ds) - len(list_intersect(x.ds, y.ds))"
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path MinHash LSH: signature -> explode bands -> equi-join on
+    (band, key) buckets -> distinct candidates -> exact-Jaccard confirm.
+
+    The band join is an equi-join (hash-partitioned on the band key), not
+    a cross join — at 10^12 docs each bucket is tiny, and AQE handles the
+    occasional hot bucket.
+    """
+    _register(spark, sf_dir, ["documents"])
+    sig = spark.sql(sql_minhash_signature(True))
+    band_structs = [
+        F.struct(F.lit(b).alias("band_id"),
+                 F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("key"))
+        for b in range(N_MINHASH // 2)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")) \
+        .select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band_id", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+            .distinct())
+    f = _frag(True)
+    sh = spark.sql(
+        f"WITH {_shingles_cte(True, 5)} "
+        f"SELECT doc_id, {f['adistinct']}(shingles) AS ds FROM s")
+    x, y = sh.alias("x"), sh.alias("y")
+    joined = (cand
+              .join(x, F.col("x.doc_id") == F.col("ida"))
+              .join(y, F.col("y.doc_id") == F.col("idb")))
+    inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
+    uni = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
+    return (joined
+            .select("ida", "idb", inter.cast("int").alias("inter"),
+                    uni.cast("int").alias("uni"))
+            .filter(F.lit(5) * F.col("inter") >= F.col("uni")))
+
+
+def sql_jaccard_pairs(sp: bool) -> str:
+    """Exact 3-shingle Jaccard >= 0.25, restricted to same-lang pairs
+    (the small-scale exact baseline; LSH above is the scale path)."""
+    f = _frag(sp)
+    inter = f"{f['size']}({f['aintersect']}(a.ds, b.ds))"
+    uni = f"{f['size']}(a.ds) + {f['size']}(b.ds) - {inter}"
+    return (
+        f"WITH {_shingles_cte(sp, 3)}, "
+        f"d AS (SELECT doc_id, lang, {f['adistinct']}(shingles) AS ds FROM s) "
+        f"SELECT a.doc_id AS ida, b.doc_id AS idb, "
+        f"CAST({inter} AS INT) AS inter, CAST({uni} AS INT) AS uni "
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        f"WHERE 4 * {inter} >= {uni}"
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def sql_simhash(sp: bool) -> str:
+    """32-bit SimHash over word multiset; word hash = first 8 hex chars
+    of md5 as an int (computed identically in both dialects)."""
+    f = _frag(sp)
+    # hex digit at 1-based position p of md5(w), as 0..15
+    def digit(p: int) -> str:
+        return f"CAST(instr('0123456789abcdef', substr(md5(x), {p}, 1)) - 1 AS BIGINT)"
+    word_val = " + ".join(
+        f"{digit(p + 1)} * {16 ** (7 - p)}" for p in range(8))
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        lam = f"{f['xform']}(vals, v -> ({_shift(sp, 'v', b)} % 2) * 2 - 1)"
+        bit_terms.append(f"{_lsum(sp, lam)} AS b{b}")
+    bit_sums = ", ".join(bit_terms)
+    simhash = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return (
+        f"WITH w AS (SELECT doc_id, {f['words']} AS words FROM documents), "
+        f"v AS (SELECT doc_id, {f['xform']}(words, x -> CAST({word_val} AS BIGINT)) AS vals FROM w), "
+        f"bs AS (SELECT doc_id, {bit_sums} FROM v) "
+        f"SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bs"
+    )
+
+
+TOPK = 5
+N_QUERY_VECS = 8
+
+
+def sql_embedding_topk(sp: bool) -> str:
+    """Brute-force cosine top-k (the exact ANN baseline).  Both sides
+    compute cosine in float64; only integer ranks + ids are returned, so
+    summation-order differences cannot flip the hash (random embeddings
+    have cosine gaps orders of magnitude above fp error)."""
+    if sp:
+        dot = ("aggregate(zip_with(q.qv, e.bv, (x, y) -> x * y), "
+               "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        norm_q = ("sqrt(aggregate(q.qv, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))")
+        norm_b = ("sqrt(aggregate(e.bv, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))")
+        cast_arr = "CAST(embedding AS ARRAY<DOUBLE>)"
+    else:
+        dot = "list_dot_product(q.qv, e.bv)"
+        norm_q = "sqrt(list_dot_product(q.qv, q.qv))"
+        norm_b = "sqrt(list_dot_product(e.bv, e.bv))"
+        cast_arr = "CAST(embedding AS DOUBLE[])"
+    return (
+        f"WITH q AS (SELECT vec_id AS qid, {cast_arr} AS qv FROM embeddings "
+        f"WHERE vec_id < {N_QUERY_VECS}), "
+        f"e AS (SELECT vec_id AS nid, {cast_arr} AS bv FROM embeddings), "
+        f"sims AS (SELECT q.qid, e.nid, {dot} / ({norm_q} * {norm_b}) AS sim "
+        "FROM q CROSS JOIN e), "
+        "ranked AS (SELECT qid, nid, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
+        f"SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {TOPK}"
+    )
+
+
+def sql_events_json(sp: bool) -> str:
+    getk = ("CAST(get_json_object(props, '$.k') AS INT)" if sp
+            else "CAST(json_extract_string(props, '$.k') AS INT)")
+    return (
+        f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        f"CAST(sum({getk}) AS BIGINT) AS sum_k, "
+        f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type"
+    )
+
+
+def sql_lineitem_agg(sp: bool) -> str:
+    """TPC-H Q1-style pricing summary (generic analytics sanity op)."""
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# codec-engine round-trip queries
+# ---------------------------------------------------------------------------
+
+_TS_COLS = {"lineitem": ["l_shipdate"], "orders": ["o_orderdate"], "events": ["ts"]}
+
+
+def _roundtrip_table(name: str, stripe_rows: int = 16384):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, name)
+        rt = roundtrip_relation(df, stripe_rows=stripe_rows)
+        for c in _TS_COLS.get(name, []):
+            rt = rt.withColumn(c + "_us",
+                               F.unix_micros(F.col(c).cast("timestamp"))).drop(c)
+        return rt
+    return run
+
+
+def _roundtrip_oracle(name: str, cols: list[str]) -> str:
+    sel = []
+    ts = set(_TS_COLS.get(name, []))
+    for cname in cols:
+        if cname in ts:
+            sel.append(f"CAST(epoch_us({cname}) AS BIGINT) AS {cname}_us")
+        else:
+            sel.append(cname)
+    return f"SELECT {', '.join(sel)} FROM {name}"
+
+
+_ROUNDTRIP_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+}
+
+
+# ---------------------------------------------------------------------------
+# token pipeline queries
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE_BASE = (
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "CAST(len(string_split(text, ' ')) AS INT) AS n_tok, "
+    "coalesce(source, 'unknown') AS source FROM documents"
+)
+
+
+def _token_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    parts = min(spark.sparkContext.defaultParallelism, 16)
+    tok = tok.repartitionByRange(parts, "doc_id").sortWithinPartitions("doc_id")
+    return encode_pass(tok, stripe_tokens=1 << 16)
+
+
+def q_roundtrip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_pass(_token_stripes(spark, sf_dir), TOKEN_SCHEMA)
+    return decoded.select("doc_id", "n_tok", "source")
+
+
+def q_tokens_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection into the stripe: only (doc_id, source) streams
+    are decoded (`src/projection.rs` analog)."""
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ])
+    return decode_pass(_token_stripes(spark, sf_dir), schema,
+                       columns=["doc_id", "source"])
+
+
+def q_decode_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe pruning via manifest min/max before any blob decode
+    (`src/row_group_filter.rs` analog, done by a DataFrame filter)."""
+    stripes = _token_stripes(spark, sf_dir)
+    pruned = stripes.filter((F.col("doc_id_max") >= "1") & (F.col("doc_id_min") < "3"))
+    decoded = decode_pass(pruned, TOKEN_SCHEMA) \
+        .filter((F.col("doc_id") >= "1") & (F.col("doc_id") < "3"))
+    return decoded.select("doc_id", "n_tok", "source")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def _sql_query(builder: Callable[[bool], str], tables: list[str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, tables)
+        return spark.sql(builder(True))
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _ROUNDTRIP_COLS:
+        q[f"roundtrip_{name}"] = _roundtrip_table(name)
+    q["roundtrip_tokens"] = q_roundtrip_tokens
+    q["tokens_projection"] = q_tokens_projection
+    q["decode_pruned"] = q_decode_pruned
+    q["token_count"] = _sql_query(sql_token_count, ["documents"])
+    q["text_quality"] = _sql_query(sql_text_quality, ["documents"])
+    q["lang_id"] = _sql_query(sql_lang_id, ["documents"])
+    q["fingerprint"] = _sql_query(sql_fingerprint, ["documents"])
+    q["exact_dedup"] = _sql_query(sql_exact_dedup, ["documents"])
+    q["minhash_signature"] = _sql_query(sql_minhash_signature, ["documents"])
+    q["minhash_lsh_pairs"] = q_minhash_lsh_pairs
+    q["jaccard_pairs"] = _sql_query(sql_jaccard_pairs, ["documents"])
+    q["simhash"] = _sql_query(sql_simhash, ["documents"])
+    q["embedding_topk"] = _sql_query(sql_embedding_topk, ["embeddings"])
+    q["events_json"] = _sql_query(sql_events_json, ["events"])
+    q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    for name, cols in _ROUNDTRIP_COLS.items():
+        o[f"roundtrip_{name}"] = _roundtrip_oracle(name, cols)
+    o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
+    o["tokens_projection"] = \
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents"
+    o["decode_pruned"] = (_TOKENS_ORACLE_BASE
+                          + " WHERE CAST(doc_id AS VARCHAR) >= '1'"
+                            " AND CAST(doc_id AS VARCHAR) < '3'")
+    o["token_count"] = sql_token_count(False)
+    o["text_quality"] = sql_text_quality(False)
+    o["lang_id"] = sql_lang_id(False)
+    o["fingerprint"] = sql_fingerprint(False)
+    o["exact_dedup"] = sql_exact_dedup(False)
+    o["minhash_signature"] = sql_minhash_signature(False)
+    o["minhash_lsh_pairs"] = sql_minhash_lsh_pairs_oracle()
+    o["jaccard_pairs"] = sql_jaccard_pairs(False)
+    o["simhash"] = sql_simhash(False)
+    o["embedding_topk"] = sql_embedding_topk(False)
+    o["events_json"] = sql_events_json(False)
+    o["lineitem_agg"] = sql_lineitem_agg(False)
+    return o
