@@ -86,9 +86,11 @@ def synthesize_tokens(spark: SparkSession, n_docs: int, seed: int = 42,
     per_part = [n_docs // partitions] * partitions
     for i in range(n_docs % partitions):
         per_part[i] += 1
+    # range-partition on the plan id: exactly one generator row per task
+    # (hash repartition collides ~1/e of the buckets empty -> skew)
     plan = spark.createDataFrame(
         [(p, per_part[p]) for p in range(partitions)], "part INT, cnt INT"
-    ).repartition(partitions, "part")
+    ).repartitionByRange(partitions, "part")
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

@@ -57,6 +57,62 @@ def unpack_ints(buf, pos: int, n: int, width: int) -> tuple[np.ndarray, int]:
     return vals, pos + total_bytes
 
 
+def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
+                        width: int) -> tuple[bytes, np.ndarray]:
+    """Pack consecutive segments (lens[i] values each) independently at
+    `width` bits, each segment zero-padded to its own byte boundary —
+    i.e. the concatenation of per-segment `pack_ints` results, computed
+    in one vectorized pass.  Returns (blob, byte_offsets[K+1])."""
+    v = np.ascontiguousarray(values, dtype=U64)
+    K = len(lens)
+    offs = np.zeros(K + 1, dtype=np.int64)
+    if width % 8 == 0:
+        np.cumsum(lens * (width // 8), out=offs[1:])
+        return pack_ints(v, width), offs
+    byte_lens = (lens * width + 7) // 8
+    np.cumsum(byte_lens, out=offs[1:])
+    n = len(v)
+    if n == 0:
+        return b"", offs
+    starts = np.zeros(K, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos_in_seg = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    val_bit = np.repeat(offs[:-1] * 8, lens) + pos_in_seg * width
+    bits = np.zeros(int(offs[-1]) * 8, dtype=np.uint8)
+    # one scatter per bit position: keeps peak memory at O(n), not O(n*w)
+    for k in range(width):
+        bits[val_bit + k] = ((v >> U64(width - 1 - k)) & U64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes(), offs
+
+
+def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
+                          width: int) -> np.ndarray:
+    """Inverse of `pack_ints_segmented`: `raw` is the concatenation of
+    per-segment packs (each zero-padded to a byte boundary); returns the
+    concatenated uint64 values."""
+    n = int(lens.sum())
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    if width % 8 == 0:
+        nbytes = width // 8
+        out = np.zeros((n, 8), dtype=np.uint8)
+        out[:, 8 - nbytes:] = np.asarray(raw).reshape(n, nbytes)
+        return out.reshape(-1).view(">u8").astype(U64)
+    K = len(lens)
+    byte_lens = (lens * width + 7) // 8
+    offs = np.zeros(K, dtype=np.int64)
+    np.cumsum(byte_lens[:-1], out=offs[1:])
+    starts = np.zeros(K, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos_in_seg = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    val_bit = np.repeat(offs * 8, lens) + pos_in_seg * width
+    bits = np.unpackbits(np.asarray(raw, dtype=np.uint8))
+    vals = np.zeros(n, dtype=U64)
+    for k in range(width):
+        vals |= bits[val_bit + k].astype(U64) << U64(width - 1 - k)
+    return vals
+
+
 def packed_byte_len(n: int, width: int) -> int:
     """Number of bytes a pack of n values at `width` bits occupies."""
     if width % 8 == 0:

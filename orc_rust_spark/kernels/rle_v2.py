@@ -266,7 +266,9 @@ def _determine_variable(
 # Encoder — run-driven simulation of `mod.rs:282-394`
 # ---------------------------------------------------------------------------
 
-def rle_v2_encode(values: np.ndarray, signed: bool = True, width_bits: int = 64) -> bytes:
+def rle_v2_encode_ref(values: np.ndarray, signed: bool = True, width_bits: int = 64) -> bytes:
+    """Run-at-a-time reference encoder (kept as the parity baseline for
+    differential tests; `rle_v2_encode` below is the fast batch path)."""
     v = np.ascontiguousarray(values, dtype=I64)
     n = len(v)
     out = bytearray()
@@ -511,3 +513,11 @@ def _read_patched_base(buf, pos: int, header: int) -> tuple[np.ndarray, int]:
         data_u[pos_arr] |= pv
     base_u = U64(base & 0xFFFFFFFFFFFFFFFF)
     return (data_u + base_u).view(I64), pos
+
+
+# fast batch encoder/decoder are the public paths (byte-/value-identical;
+# see rle_v2_batch.py).  Imported at the bottom to break the module cycle;
+# the scalar implementations above remain as parity baselines for tests.
+rle_v2_decode_ref = rle_v2_decode
+from .rle_v2_batch import rle_v2_encode_batch as rle_v2_encode  # noqa: E402
+from .rle_v2_batch import rle_v2_decode_batch as rle_v2_decode  # noqa: E402,F811

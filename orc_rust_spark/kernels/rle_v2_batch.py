@@ -1,0 +1,657 @@
+"""Batch-vectorized ORC RLEv2 encoder, byte-identical to
+`rle_v2.rle_v2_encode` (the run-at-a-time port of the reference state
+machine, `src/encoding/integer/rle_v2/mod.rs:255-531`) but ~20x faster.
+
+Strategy (SURVEY §7.3 "vectorizing the run state machine"):
+
+1. **Segmentation** — a cheap Python loop over *maximal runs* (numpy
+   run-length detection) replays the state machine's control flow only,
+   emitting a plan of segments: literal blocks (<=512 values, to be
+   classified by the decision tree) and fixed runs (short-repeat /
+   fixed-delta).  Cost is O(#runs), not O(#values).
+2. **Vectorized classification** — every literal block's statistics
+   (min/max, saturating adjacent deltas, monotonicity, fixed-delta,
+   zigzag bit-width percentile histograms, base-reduced 95th-percentile
+   width) are computed for ALL blocks at once with
+   `np.{minimum,maximum,logical_and}.reduceat` over a gathered value
+   array and a (K,32) `bincount` histogram, reproducing the reference
+   decision tree (`mod.rs:422-531`) including its f32 percentile
+   truncation (`util.rs:584-610`).
+3. **Emission** — headers and varints per segment (tiny), data payloads
+   bulk-bit-packed: all direct blocks of one byte-aligned width are
+   packed in a single `pack_ints` call and sliced per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import pack_ints, pack_ints_segmented
+from .rle_v2 import (
+    MAX_RUN_LENGTH,
+    SHORT_REPEAT_MAX_LENGTH,
+    BASE_VALUE_LIMIT,
+    _HDR_DIRECT,
+    _HDR_PATCHED_BASE,
+    _derive_patches,
+    _write_fixed_delta,
+    _write_short_repeat,
+    _write_varying_delta,
+)
+from .util import (
+    _ALIGNED_WIDTH_LUT,
+    _DECODE_BIT_WIDTH_LUT,
+    _ENCODE_BIT_WIDTH_LUT,
+    I64,
+    I64_MAX,
+    I64_MIN,
+    U64,
+    bits_used,
+    bits_used_scalar,
+    encode_bit_width,
+    get_closest_fixed_bits,
+    rle_v2_encode_bit_width,
+    signed_msb_encode_scalar,
+    zigzag_encode,
+)
+
+_CAT_DIRECT = 0
+_CAT_FIXED_DELTA = 1
+_CAT_VAR_DELTA = 2
+_CAT_PATCHED = 3
+
+
+def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
+    """Replay of the state-machine control flow (`rle_v2.rle_v2_encode`)
+    emitting (kind, start, len) with kind 0=literal block, 1=fixed run."""
+    n = len(v)
+    segs: list[tuple[int, int, int]] = []
+
+    change = np.nonzero(v[1:] != v[:-1])[0] + 1
+    starts = np.concatenate((np.zeros(1, dtype=np.int64), change))
+    lens = np.diff(np.concatenate((starts, np.array([n], dtype=np.int64))))
+    long_runs = np.nonzero(lens >= 3)[0]
+
+    lit_a = 0
+    lit_b = 0
+    fixed_idx = -1
+    fixed_count = 0
+
+    def bulk_literals(end: int) -> None:
+        nonlocal lit_a, lit_b
+        lit_b = end
+        while lit_b - lit_a >= MAX_RUN_LENGTH:
+            segs.append((0, lit_a, MAX_RUN_LENGTH))
+            lit_a += MAX_RUN_LENGTH
+
+    def feed_long_run(s: int, length: int) -> None:
+        nonlocal lit_a, lit_b, fixed_idx, fixed_count
+        consumed = 0
+        m = lit_b - lit_a
+        if m > 0:
+            if m == MAX_RUN_LENGTH - 1:
+                segs.append((0, lit_a, s + 1 - lit_a))
+                consumed = 1
+            elif m == MAX_RUN_LENGTH - 2:
+                segs.append((0, lit_a, s + 2 - lit_a))
+                consumed = 2
+            else:
+                segs.append((0, lit_a, s - lit_a))
+            lit_a = lit_b = s + consumed
+        rem = length - consumed
+        chunks = rem // MAX_RUN_LENGTH
+        for c in range(chunks):
+            segs.append((1, s, MAX_RUN_LENGTH))
+        r = rem % MAX_RUN_LENGTH
+        end = s + length
+        if r == 0:
+            lit_a = lit_b = end
+        elif r <= 2:
+            lit_a, lit_b = end - r, end
+        else:
+            lit_a = lit_b = end
+            fixed_idx, fixed_count = end - r, r
+
+    for ri in long_runs:
+        s = int(starts[ri])
+        length = int(lens[ri])
+        if fixed_idx >= 0:
+            segs.append((1, fixed_idx, fixed_count))
+            fixed_idx = -1
+        bulk_literals(s)
+        feed_long_run(s, length)
+
+    if fixed_idx >= 0 and lit_b < n:
+        segs.append((1, fixed_idx, fixed_count))
+        fixed_idx = -1
+    bulk_literals(n)
+
+    if fixed_idx >= 0:
+        segs.append((1, fixed_idx, fixed_count))
+    elif lit_b > lit_a:
+        segs.append((0, lit_a, lit_b - lit_a))
+    return segs
+
+
+def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
+                        width_bits: int = 64) -> bytes:
+    v = np.ascontiguousarray(values, dtype=I64)
+    n = len(v)
+    if n == 0:
+        return b""
+    segs = _segments(v)
+    parts: list[bytes | None] = [None] * len(segs)
+
+    lit_sids: list[int] = []
+    run_sids: list[int] = []
+    run_a: list[int] = []
+    run_ln: list[int] = []
+    for si, (kind, a, ln) in enumerate(segs):
+        if kind == 1:
+            run_sids.append(si)
+            run_a.append(a)
+            run_ln.append(ln)
+        else:
+            lit_sids.append(si)
+
+    if run_sids:
+        _emit_runs(v, run_sids, np.array(run_a, dtype=np.int64),
+                   np.array(run_ln, dtype=np.int64), parts, signed)
+    if lit_sids:
+        _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits)
+    return b"".join(parts)  # type: ignore[arg-type]
+
+
+def _emit_runs(v, run_sids, r_a, r_ln, parts, signed) -> None:
+    """Vectorized short-repeat / fixed-delta emission for identical-value
+    runs, grouped by value byte width (SR, `short_repeat.rs:65-81`) and
+    base varint length (FD, `delta.rs:146-159`)."""
+    vals = v[r_a]
+    zz = zigzag_encode(vals) if signed else vals.astype(U64)
+    bu = bits_used(zz)
+    sr = r_ln <= SHORT_REPEAT_MAX_LENGTH
+    be = zz.astype(">u8").view(np.uint8).reshape(-1, 8)
+
+    bs = np.maximum((bu + 7) // 8, 1)
+    for b in np.unique(bs[sr]):
+        b = int(b)
+        sel = np.nonzero(sr & (bs == b))[0]
+        rows = np.empty((len(sel), 1 + b), dtype=np.uint8)
+        rows[:, 0] = ((b - 1) << 3) | (r_ln[sel] - 3)
+        rows[:, 1:] = be[sel][:, 8 - b:]
+        blob = rows.tobytes()
+        w = 1 + b
+        for j, i in enumerate(sel):
+            parts[run_sids[i]] = blob[j * w: (j + 1) * w]
+
+    vlen = np.maximum((bu + 6) // 7, 1)
+    fd = ~sr
+    for L in np.unique(vlen[fd]):
+        L = int(L)
+        sel = np.nonzero(fd & (vlen == L))[0]
+        rl = r_ln[sel] - 1
+        rows = np.zeros((len(sel), 3 + L), dtype=np.uint8)
+        rows[:, 0] = 0xC0 | (rl >> 8)
+        rows[:, 1] = rl & 0xFF
+        z = zz[sel]
+        for i in range(L - 1):
+            rows[:, 2 + i] = 0x80 | ((z >> U64(7 * i)) & U64(0x7F)).astype(np.uint8)
+        rows[:, 2 + L - 1] = ((z >> U64(7 * (L - 1))) & U64(0x7F)).astype(np.uint8)
+        # trailing byte: fixed delta 0 as a 1-byte zigzag varint
+        blob = rows.tobytes()
+        w = 3 + L
+        for j, i in enumerate(sel):
+            parts[run_sids[i]] = blob[j * w: (j + 1) * w]
+
+
+def _percentile_stop(hist: np.ndarray, per_len: np.ndarray) -> np.ndarray:
+    """Vectorized walk of `util.rs:584-610`: for each row, largest code i
+    with sum(hist[i:]) > per_len."""
+    c = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
+    mask = c > per_len[:, None]
+    ii = np.arange(hist.shape[1], dtype=np.int64)
+    return np.max(np.where(mask, ii, -1), axis=1)
+
+
+def _per_len(counts: np.ndarray, percentile: float) -> np.ndarray:
+    frac = np.float32(np.float32(1.0) - np.float32(percentile))
+    return (frac * counts.astype(np.float32)).astype(np.int64)
+
+
+def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits) -> None:
+    la = np.array([segs[i][1] for i in lit_sids], dtype=np.int64)
+    ll = np.array([segs[i][2] for i in lit_sids], dtype=np.int64)
+    K = len(la)
+    total = int(ll.sum())
+
+    bnd = np.zeros(K, dtype=np.int64)
+    np.cumsum(ll[:-1], out=bnd[1:])
+    seg_of = np.repeat(np.arange(K, dtype=np.int64), ll)
+    idx = np.arange(total, dtype=np.int64) - np.repeat(bnd, ll) + np.repeat(la, ll)
+    g = v[idx]
+    zzg = zigzag_encode(g) if signed else g.astype(U64)
+
+    vmin = np.minimum.reduceat(g, bnd)
+    vmax = np.maximum.reduceat(g, bnd)
+    zmax = np.maximum.reduceat(zzg, bnd)
+
+    # saturating adjacent deltas, padded to length `total`; positions that
+    # cross a segment boundary (and the final pad) are neutralized
+    d = np.zeros(total, dtype=I64)
+    if total > 1:
+        raw = g[1:] - g[:-1]  # wrapping
+        l1, l0 = g[1:], g[:-1]
+        pos_ovf = (l1 >= 0) & (l0 < 0) & (raw < 0)
+        neg_ovf = (l1 < 0) & (l0 >= 0) & (raw > 0)
+        raw = np.where(pos_ovf, I64_MAX, raw)
+        raw = np.where(neg_ovf, I64_MIN, raw)
+        d[:-1] = raw
+    cross = np.concatenate((bnd[1:], np.array([total], dtype=np.int64))) - 1
+
+    d_ge = d >= 0
+    d_le = d <= 0
+    dmin_m = d.copy()
+    dmax_m = d.copy()
+    d_ge[cross] = True
+    d_le[cross] = True
+    dmin_m[cross] = I64_MAX
+    dmax_m[cross] = I64_MIN
+
+    first_delta = d[bnd]
+    dmin = np.minimum.reduceat(dmin_m, bnd)
+    dmax = np.maximum.reduceat(dmax_m, bnd)
+    all_ge = np.logical_and.reduceat(d_ge, bnd)
+    all_le = np.logical_and.reduceat(d_le, bnd)
+
+    # zigzag bit-width percentile histograms (w90/w100)
+    codesg = _ENCODE_BIT_WIDTH_LUT[bits_used(zzg)]
+    hist = np.bincount(seg_of * 32 + codesg, minlength=K * 32).reshape(K, 32)
+    w90 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(hist, _per_len(ll, 0.90))]
+    w100 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(hist, np.zeros(K, dtype=np.int64))]
+
+    # decision tree (`mod.rs:422-531`)
+    range_u = vmax.astype(U64) - vmin.astype(U64)
+    n_max = U64((1 << (width_bits - 1)) - 1)
+    overflow = range_u > n_max
+    abs_min = np.where(vmin < 0, U64(0) - vmin.astype(U64), vmin.astype(U64))
+    base_limit = (abs_min >= U64(BASE_VALUE_LIMIT)) & (vmin != I64_MIN)
+
+    small = ll <= 3
+    is_fixed = ~small & ~overflow & (dmin == dmax)
+    monotonic = (~small & ~overflow & ~is_fixed
+                 & (((first_delta > 0) & all_ge) | ((first_delta < 0) & all_le)))
+    rest_direct = ~small & ~overflow & ~is_fixed & ~monotonic
+    direct_now = rest_direct & (base_limit | (w100 - w90 <= 1))
+    pc = rest_direct & ~direct_now  # patched-base candidates
+
+    cat = np.full(K, _CAT_DIRECT, dtype=np.int64)
+    cat[is_fixed] = _CAT_FIXED_DELTA
+    cat[monotonic] = _CAT_VAR_DELTA
+
+    brl_95 = np.zeros(K, dtype=np.int64)
+    brl_100_arr = np.zeros(K, dtype=np.int64)
+    psel = np.empty(0, dtype=np.int64)
+    is_patched = np.empty(0, dtype=bool)
+    if pc.any():
+        pmask = pc[seg_of]
+        brl_vals = g[pmask] - vmin[seg_of[pmask]]  # fits i64 (no overflow)
+        pseg = seg_of[pmask]
+        # remap candidate segment ids to 0..P-1 for a compact histogram
+        psel = np.nonzero(pc)[0]
+        remap = np.zeros(K, dtype=np.int64)
+        remap[psel] = np.arange(len(psel), dtype=np.int64)
+        pseg_local = remap[pseg]
+        pcodes = _ENCODE_BIT_WIDTH_LUT[bits_used(brl_vals.astype(U64))]
+        phist = np.bincount(pseg_local * 32 + pcodes,
+                            minlength=len(psel) * 32).reshape(len(psel), 32)
+        p95 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(phist, _per_len(ll[psel], 0.95))]
+        brl_100 = _ALIGNED_WIDTH_LUT[bits_used(range_u[psel])]
+        is_patched = brl_100 != p95
+        cat[psel[is_patched]] = _CAT_PATCHED
+        brl_95[psel] = p95
+        brl_100_arr[psel] = brl_100
+        pstart = np.zeros(len(psel), dtype=np.int64)
+        np.cumsum(ll[psel][:-1], out=pstart[1:])
+
+    # ---- emission ----
+    direct = cat == _CAT_DIRECT
+    dwidth = np.where(direct, _ALIGNED_WIDTH_LUT[bits_used(zmax)], 0)
+
+    # bulk-pack byte-aligned direct widths
+    payloads: dict[int, bytes] = {}
+    for w in np.unique(dwidth[direct]):
+        w = int(w)
+        if w < 8:
+            continue
+        sel = direct & (dwidth == w)
+        vals = zzg[sel[seg_of]]
+        blob = pack_ints(vals, w)
+        lens_sel = ll[sel]
+        offs = np.zeros(len(lens_sel) + 1, dtype=np.int64)
+        np.cumsum(lens_sel * (w // 8), out=offs[1:])
+        for j, k in enumerate(np.nonzero(sel)[0]):
+            payloads[int(k)] = blob[offs[j]: offs[j + 1]]
+
+    # patched-base: derive patches per segment (mutating brl_vals slices
+    # in place), then bulk-pack stripped brl data grouped by pack width
+    pb_head: dict[int, bytes] = {}
+    pb_brl_w: dict[int, int] = {}
+    pb_brl_j: dict[int, int] = {}  # k -> local pc index j
+    pb_patch: dict[int, np.ndarray] = {}
+    pb_patch_w: dict[int, int] = {}
+    for j in np.nonzero(is_patched)[0]:
+        j = int(j)
+        k = int(psel[j])
+        ln = int(ll[k])
+        brl = brl_vals[pstart[j]: pstart[j] + ln]  # mutable view
+        brl_95p = int(brl_95[k])
+        patch_bits_width = get_closest_fixed_bits(int(brl_100_arr[k]) - brl_95p)
+        if patch_bits_width == 64:
+            patch_bits_width, brl_95p = 56, 8
+        patches, patch_gap_width = _derive_patches(brl, patch_bits_width, brl_95p)
+        base = int(vmin[k])
+        base_bit_width = get_closest_fixed_bits(bits_used_scalar(abs(base)) + 1)
+        base_byte_width = max((base_bit_width + 7) // 8, 1)
+        msb = signed_msb_encode_scalar(base, base_byte_width)
+        head = bytearray()
+        head.append(_HDR_PATCHED_BASE | (encode_bit_width(brl_95p) << 1)
+                    | ((ln - 1) >> 8))
+        head.append((ln - 1) & 0xFF)
+        head.append(((base_byte_width - 1) << 5) | encode_bit_width(patch_bits_width))
+        head.append(((patch_gap_width - 1) << 5) | len(patches))
+        head.extend(msb.to_bytes(base_byte_width, "big"))
+        pb_head[k] = bytes(head)
+        pb_brl_w[k] = get_closest_fixed_bits(brl_95p)
+        pb_brl_j[k] = j
+        pb_patch[k] = np.array(patches, dtype=U64)
+        pb_patch_w[k] = get_closest_fixed_bits(patch_gap_width + patch_bits_width)
+
+    # group stripped-brl packs by width: one masked gather + one
+    # segmented pack per distinct width
+    pb_brl_payload: dict[int, bytes] = {}
+    by_w: dict[int, list[int]] = {}
+    for k, w in pb_brl_w.items():
+        by_w.setdefault(w, []).append(k)
+    for w, ks in by_w.items():
+        js = np.array([pb_brl_j[k] for k in ks], dtype=np.int64)
+        selp = np.zeros(len(psel), dtype=bool)
+        selp[js] = True
+        vals = brl_vals[selp[pseg_local]].astype(U64)
+        blob, offs = pack_ints_segmented(vals, ll[psel[js]], w)
+        for i, k in enumerate(ks):
+            pb_brl_payload[k] = blob[int(offs[i]): int(offs[i + 1])]
+
+    pb_patch_payload = _bulk_pack_groups(pb_patch, pb_patch_w)
+
+    # non-byte-aligned direct widths (1/2/4), bulk-packed too
+    for w in np.unique(dwidth[direct]):
+        w = int(w)
+        if w >= 8:
+            continue
+        sel = direct & (dwidth == w)
+        vals = zzg[sel[seg_of]]
+        blob, offs = pack_ints_segmented(vals, ll[sel], w)
+        for j, k in enumerate(np.nonzero(sel)[0]):
+            payloads[int(k)] = blob[int(offs[j]): int(offs[j + 1])]
+
+    for k in range(K):
+        si = lit_sids[k]
+        a = int(la[k])
+        ln = int(ll[k])
+        c = int(cat[k])
+        if c == _CAT_DIRECT:
+            w = int(dwidth[k])
+            ebw = rle_v2_encode_bit_width(w)
+            el = ln - 1
+            parts[si] = bytes((_HDR_DIRECT | (ebw << 1) | (el >> 8), el & 0xFF)) \
+                + payloads[k]
+            continue
+        out = bytearray()
+        if c == _CAT_FIXED_DELTA:
+            _write_fixed_delta(out, int(v[a]), int(first_delta[k]), ln - 2, signed)
+        elif c == _CAT_VAR_DELTA:
+            rest = d[bnd[k] + 1: bnd[k] + ln - 1]
+            abs_rest = np.where(rest == I64_MIN, I64_MAX, np.abs(rest))
+            max_delta = int(abs_rest.max()) if len(abs_rest) else 0
+            _write_varying_delta(out, int(v[a]), int(first_delta[k]),
+                                 max_delta, abs_rest, signed)
+        else:  # patched base
+            out += pb_head[k]
+            out += pb_brl_payload[k]
+            out += pb_patch_payload[k]
+        parts[si] = bytes(out)
+
+
+def _bulk_pack_groups(arrays: dict[int, np.ndarray],
+                      widths: dict[int, int]) -> dict[int, bytes]:
+    """Pack many per-segment arrays, grouping same-width segments into a
+    single `pack_ints_segmented` call; returns per-key payload bytes."""
+    by_w: dict[int, list[int]] = {}
+    for k, w in widths.items():
+        by_w.setdefault(w, []).append(k)
+    out: dict[int, bytes] = {}
+    for w, ks in by_w.items():
+        lens = np.array([len(arrays[k]) for k in ks], dtype=np.int64)
+        vals = np.concatenate([arrays[k].astype(U64, copy=False) for k in ks]) \
+            if len(ks) else np.empty(0, dtype=U64)
+        blob, offs = pack_ints_segmented(vals, lens, w)
+        for j, k in enumerate(ks):
+            out[k] = blob[int(offs[j]): int(offs[j + 1])]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batch decoder: header scan -> group blocks by (kind, width) -> bulk
+# unpack + positional scatter.  Value-identical to `rle_v2.rle_v2_decode`.
+# ---------------------------------------------------------------------------
+
+from .bitpack import packed_byte_len, unpack_ints, unpack_ints_segmented  # noqa: E402
+from .rle_v2 import _HDR_DELTA, _HDR_SHORT_REPEAT  # noqa: E402
+from .util import (  # noqa: E402
+    read_varint_zigzagged,
+    rle_v2_decode_bit_width,
+    zigzag_decode,
+)
+
+
+def _scatter(out: np.ndarray, offsets: list[int], lens: list[int],
+             vals: np.ndarray) -> None:
+    """Write concatenated per-block values to their output positions."""
+    off = np.array(offsets, dtype=np.int64)
+    ln = np.array(lens, dtype=np.int64)
+    starts = np.zeros(len(ln), dtype=np.int64)
+    np.cumsum(ln[:-1], out=starts[1:])
+    total = int(ln.sum())
+    idx = np.repeat(off, ln) + (np.arange(total, dtype=np.int64)
+                                - np.repeat(starts, ln))
+    out[idx] = vals
+
+
+def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=I64)
+    buf = memoryview(buf)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(n, dtype=I64)
+
+    # per-kind accumulators
+    sr_off: list[int] = []
+    sr_len: list[int] = []
+    sr_val: list[int] = []
+    fd_off: list[int] = []
+    fd_len: list[int] = []
+    fd_base: list[int] = []
+    fd_step: list[int] = []
+    # grouped by width: direct data, varying-delta deltas, patched data
+    dir_g: dict[int, tuple[list[int], list[int], list[tuple[int, int]]]] = {}
+    vd_g: dict[int, list[tuple[int, int, int, int, int, int, int]]] = {}
+    pb_g: dict[int, list[tuple[int, int, int, int, list[int], int]]] = {}
+
+    got = 0
+    pos = 0
+    while got < n:
+        header = buf[pos]
+        pos += 1
+        kind = header & 0xC0
+        if kind == _HDR_SHORT_REPEAT:
+            byte_width = ((header >> 3) & 0x07) + 1
+            run_length = (header & 0x07) + 3
+            val = int.from_bytes(buf[pos: pos + byte_width], "big")
+            pos += byte_width
+            if signed:
+                val = (val >> 1) ^ -(val & 1)
+            elif val >= 1 << 63:
+                val -= 1 << 64
+            sr_off.append(got)
+            sr_len.append(run_length)
+            sr_val.append(val)
+            got += run_length
+        elif kind == _HDR_DIRECT:
+            w = rle_v2_decode_bit_width((header >> 1) & 0x1F)
+            length = (((header & 0x01) << 8) | buf[pos]) + 1
+            pos += 1
+            nb = packed_byte_len(length, w)
+            offs, lens_, spans = dir_g.setdefault(w, ([], [], []))
+            offs.append(got)
+            lens_.append(length)
+            spans.append((pos, nb))
+            pos += nb
+            got += length
+        elif kind == _HDR_DELTA:
+            ew = (header >> 1) & 0x1F
+            w = 0 if ew == 0 else rle_v2_decode_bit_width(ew)
+            length = (((header & 0x01) << 8) | buf[pos]) + 1
+            pos += 1
+            base, pos = read_varint_zigzagged(buf, pos, signed)
+            delta, pos = read_varint_zigzagged(buf, pos, True)
+            if w == 0:
+                fd_off.append(got)
+                fd_len.append(length)
+                fd_base.append(base)
+                fd_step.append(delta)
+            else:
+                nb = packed_byte_len(length - 2, w)
+                sign = 1 if delta > 0 else -1
+                vd_g.setdefault(w, []).append(
+                    (got, length, base, delta, sign, pos, nb))
+                pos += nb
+            got += length
+        else:  # patched base
+            value_w = rle_v2_decode_bit_width((header >> 1) & 0x1F)
+            length = (((header & 0x01) << 8) | buf[pos]) + 1
+            pos += 1
+            third = buf[pos]
+            fourth = buf[pos + 1]
+            pos += 2
+            base_bw = ((third >> 5) & 0x07) + 1
+            patch_w = rle_v2_decode_bit_width(third & 0x1F)
+            gap_w = ((fourth >> 5) & 0x07) + 1
+            plist_len = fourth & 0x1F
+            base_raw = int.from_bytes(buf[pos: pos + base_bw], "big")
+            pos += base_bw
+            msb_mask = 1 << (base_bw * 8 - 1)
+            base = -(base_raw & ~msb_mask) if base_raw & msb_mask \
+                else base_raw & ~msb_mask
+            data_nb = packed_byte_len(length, value_w)
+            data_pos = pos
+            pos += data_nb
+            pw = get_closest_fixed_bits(patch_w + gap_w)
+            patch_nb = packed_byte_len(plist_len, pw)
+            # patch lists are <=31 entries: scalar big-int bit extraction
+            # beats a numpy unpack call by ~10x at this size
+            big = int.from_bytes(buf[pos: pos + patch_nb], "big")
+            tot = patch_nb * 8
+            pmask_ = (1 << pw) - 1
+            patches = [(big >> (tot - (i + 1) * pw)) & pmask_
+                       for i in range(plist_len)]
+            pos += patch_nb
+            # resolve jump patches to absolute (position, high-bits) pairs
+            mask = (1 << patch_w) - 1
+            plist: list[int] = []  # interleaved pos, val
+            pi = 0
+            prev = 0
+            first = True
+            while pi < len(patches):
+                gap = patches[pi] >> patch_w
+                pv = patches[pi] & mask
+                actual = 0
+                while gap == 255 and pv == 0:
+                    actual += 255
+                    pi += 1
+                    gap = patches[pi] >> patch_w
+                    pv = patches[pi] & mask
+                actual += gap
+                if not first:
+                    actual += prev
+                plist.append(actual)
+                plist.append(pv)
+                prev = actual
+                first = False
+                pi += 1
+            pb_g.setdefault(value_w, []).append(
+                (got, length, base, data_pos, plist, data_nb))
+            got += length
+    if got != n:
+        raise ValueError(f"decoded {got} values, expected {n}")
+
+    # --- materialize groups ---
+    if sr_off:
+        vals = np.repeat(np.array(sr_val, dtype=I64),
+                         np.array(sr_len, dtype=np.int64))
+        _scatter(out, sr_off, sr_len, vals)
+    if fd_off:
+        ln = np.array(fd_len, dtype=np.int64)
+        starts = np.zeros(len(ln), dtype=np.int64)
+        np.cumsum(ln[:-1], out=starts[1:])
+        total = int(ln.sum())
+        pos_in = np.arange(total, dtype=np.int64) - np.repeat(starts, ln)
+        vals = (np.repeat(np.array(fd_base, dtype=I64), ln)
+                + pos_in * np.repeat(np.array(fd_step, dtype=I64), ln))
+        _scatter(out, fd_off, fd_len, vals)
+    for w, (offs, lens_, spans) in dir_g.items():
+        blob = b"".join(bytes(buf[p: p + nb]) for p, nb in spans)
+        lens_a = np.array(lens_, dtype=np.int64)
+        vals_u = unpack_ints_segmented(np.frombuffer(blob, dtype=np.uint8),
+                                       lens_a, w)
+        vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
+        _scatter(out, offs, lens_, vals)
+    for w, blocks in vd_g.items():
+        blob = b"".join(bytes(buf[p: p + nb]) for _, _, _, _, _, p, nb in blocks)
+        dlens = np.array([b[1] - 2 for b in blocks], dtype=np.int64)
+        deltas = unpack_ints_segmented(np.frombuffer(blob, dtype=np.uint8),
+                                       dlens, w).view(I64)
+        signs = np.repeat(np.array([b[4] for b in blocks], dtype=I64), dlens)
+        sd = deltas * signs
+        # segmented cumsum
+        c = np.cumsum(sd)
+        starts = np.zeros(len(dlens), dtype=np.int64)
+        np.cumsum(dlens[:-1], out=starts[1:])
+        base_corr = np.where(starts > 0, c[starts - 1], 0)
+        second = np.array([b[2] + b[4] * abs(b[3]) for b in blocks], dtype=I64)
+        vals_tail = np.repeat(second - base_corr, dlens) + c
+        offs_tail = [b[0] + 2 for b in blocks]
+        _scatter(out, offs_tail, [int(x) for x in dlens], vals_tail)
+        head_idx = np.array([b[0] for b in blocks], dtype=np.int64)
+        out[head_idx] = np.array([b[2] for b in blocks], dtype=I64)
+        out[head_idx + 1] = second
+    for w, blocks in pb_g.items():
+        blob = b"".join(bytes(buf[p: p + nb]) for _, _, _, p, _, nb in blocks)
+        lens_a = np.array([b[1] for b in blocks], dtype=np.int64)
+        data_u = unpack_ints_segmented(np.frombuffer(blob, dtype=np.uint8),
+                                       lens_a, w)
+        starts = np.zeros(len(lens_a), dtype=np.int64)
+        np.cumsum(lens_a[:-1], out=starts[1:])
+        ppos: list[int] = []
+        pval: list[int] = []
+        for i, (_, _, _, _, plist, _) in enumerate(blocks):
+            s = int(starts[i])
+            for j in range(0, len(plist), 2):
+                ppos.append(s + plist[j])
+                pval.append((plist[j + 1] << w) & 0xFFFFFFFFFFFFFFFF)
+        if ppos:
+            data_u[np.array(ppos, dtype=np.int64)] |= np.array(pval, dtype=U64)
+        bases = np.repeat(
+            np.array([b[2] for b in blocks], dtype=I64).astype(U64), lens_a)
+        vals = (data_u + bases).view(I64)
+        _scatter(out, [b[0] for b in blocks], [int(x) for x in lens_a], vals)
+    return out

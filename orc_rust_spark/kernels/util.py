@@ -38,19 +38,17 @@ def bits_used_scalar(v: int) -> int:
 def bits_used(values: np.ndarray) -> np.ndarray:
     """Vectorized bit length for a uint64 array (exact for all 64 bits).
 
-    Implemented via per-byte lookup to avoid float imprecision near 2^53.
+    float64 frexp gives the exponent up to rounding; values just below a
+    power of two can round up, so one exact uint64 compare corrects the
+    overestimate (and caps the 2^63.. range at 64).
     """
     v = np.ascontiguousarray(values, dtype=U64)
-    b = v.view(np.uint8).reshape(-1, 8)
-    if np.little_endian:
-        b = b[:, ::-1]  # most-significant byte first
-    bl = _BYTE_BITS[b]
-    # index of most significant non-zero byte
-    nz = b != 0
-    first = np.argmax(nz, axis=1)
-    any_nz = nz.any(axis=1)
-    msb_bits = bl[np.arange(len(v)), first]
-    return np.where(any_nz, (7 - first).astype(np.int64) * 8 + msb_bits, 0)
+    bl = np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    np.minimum(bl, 64, out=bl)
+    shift = np.maximum(bl - 1, 0).astype(U64)
+    over = (bl > 0) & ((U64(1) << shift) > v)
+    bl[over] -= 1
+    return bl
 
 
 # ---------------------------------------------------------------------------
