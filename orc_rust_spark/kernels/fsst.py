@@ -1,0 +1,213 @@
+"""FSST string compression (Boncz, Neumann, Leis: "FSST: Fast Random
+Access String Compression", VLDB 2020) — a from-scratch implementation,
+NOT present in the reference (`src/array_decoder/string.rs:58-83` only
+has direct + dictionary; SURVEY §2.7), required by BASELINE.json
+north_star ("FSST symbol tables for strings").
+
+Format (ours; self-describing blob):
+    u8  n_symbols (<= 255)
+    u8  lengths[n_symbols] (1..8)
+    ..  symbol bytes, concatenated
+    varint n_codes
+    ..  code stream: one byte per code; 255 = escape, next byte literal
+
+Implementation notes:
+- Symbol table learned on a bounded sample with the paper's iterative
+  scheme: parse with the current table, count symbol and adjacent-pair
+  frequencies, keep the 254 highest-gain (count * length) candidates.
+- Encoding computes the longest symbol match at EVERY byte position
+  vectorized (per length 8..1, u64 prefix lookup via np.searchsorted on
+  the sorted symbol keys), then walks the greedy parse over Python lists
+  (~20 MB/s; the heavy lifting is in numpy).
+- Decoding is fully vectorized: code -> (length, bytes) table expansion
+  via np.repeat over a (n_symbols, 8) byte matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .util import U64, read_varint, write_varint
+
+MAX_SYMBOLS = 254  # code 255 = escape; one spare to keep codes < 255
+MAX_LEN = 8
+ESCAPE = 255
+
+
+def _prefix_keys(data: np.ndarray, length: int) -> np.ndarray:
+    """u64 big-endian key of the `length`-byte prefix at each position
+    (positions past n-length get right-zero-padded keys)."""
+    n = len(data)
+    padded = np.zeros(n + MAX_LEN, dtype=np.uint8)
+    padded[:n] = data
+    keys = np.zeros(n, dtype=U64)
+    for i in range(length):
+        keys |= padded[i: i + n].astype(U64) << U64(8 * (MAX_LEN - 1 - i))
+    return keys
+
+
+def _sym_key(sym: bytes) -> int:
+    k = 0
+    for i, b in enumerate(sym):
+        k |= b << (8 * (MAX_LEN - 1 - i))
+    return k
+
+
+class SymbolTable:
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMBOLS
+        self.symbols = symbols
+        # per length: sorted u64 keys + the code of each
+        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for ln in range(1, MAX_LEN + 1):
+            pairs = [(_sym_key(s), c) for c, s in enumerate(symbols) if len(s) == ln]
+            if pairs:
+                pairs.sort()
+                self._by_len[ln] = (
+                    np.array([p[0] for p in pairs], dtype=U64),
+                    np.array([p[1] for p in pairs], dtype=np.int64),
+                )
+
+    def match_tables(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized longest-match: per position, (match_len, code);
+        match_len 0 => escape (2 output bytes for 1 input byte)."""
+        n = len(data)
+        mlen = np.zeros(n, dtype=np.int64)
+        mcode = np.zeros(n, dtype=np.int64)
+        full = _prefix_keys(data, MAX_LEN)
+        for ln in sorted(self._by_len, reverse=False):
+            keys, codes = self._by_len[ln]
+            shift = U64(8 * (MAX_LEN - ln))
+            # operate only on positions where a full match can fit
+            m = n - ln + 1
+            pref = (full[:m] >> shift) << shift
+            pos = np.searchsorted(keys, pref)
+            np.minimum(pos, len(keys) - 1, out=pos)
+            hit = keys[pos] == pref
+            mlen[:m][hit] = ln  # later (longer) lengths overwrite
+            mcode[:m][hit] = codes[pos[hit]]
+        return mlen, mcode
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        out.append(len(self.symbols))
+        out.extend(len(s) for s in self.symbols)
+        for s in self.symbols:
+            out.extend(s)
+        return bytes(out)
+
+    @classmethod
+    def from_buffer(cls, buf, pos: int) -> tuple["SymbolTable", int]:
+        n = buf[pos]
+        pos += 1
+        lens = bytes(buf[pos: pos + n])
+        pos += n
+        syms = []
+        for ln in lens:
+            syms.append(bytes(buf[pos: pos + ln]))
+            pos += ln
+        return cls(syms), pos
+
+
+def _parse(data: np.ndarray, table: SymbolTable) -> tuple[list[int], int]:
+    """Greedy left-to-right parse; returns (codes incl. escapes+literals,
+    n_codes counting escape pairs as two bytes of output)."""
+    mlen, mcode = table.match_tables(data)
+    ml = mlen.tolist()
+    mc = mcode.tolist()
+    raw = data.tolist()
+    out: list[int] = []
+    i = 0
+    n = len(ml)
+    while i < n:
+        ln = ml[i]
+        if ln:
+            out.append(mc[i])
+            i += ln
+        else:
+            out.append(ESCAPE)
+            out.append(raw[i])
+            i += 1
+    return out, len(out)
+
+
+def train(data: np.ndarray, iterations: int = 5,
+          sample_bytes: int = 1 << 16) -> SymbolTable:
+    """Iterative symbol-table construction on a bounded sample (paper §3)."""
+    sample = data[:sample_bytes]
+    table = SymbolTable([])
+    raw = sample.tolist()
+    for _ in range(iterations):
+        # parse sample, counting symbols and adjacent concatenations
+        mlen, mcode = table.match_tables(sample)
+        ml = mlen.tolist()
+        counts: dict[bytes, int] = {}
+        i = 0
+        n = len(ml)
+        prev: bytes | None = None
+        sym_list = table.symbols
+        while i < n:
+            ln = ml[i]
+            if ln:
+                cur = sym_list[mcode[i]]
+            else:
+                cur = bytes((raw[i],))
+                ln = 1
+            counts[cur] = counts.get(cur, 0) + 1
+            if prev is not None and len(prev) + len(cur) <= MAX_LEN:
+                cat = prev + cur
+                counts[cat] = counts.get(cat, 0) + 1
+            prev = cur
+            i += ln
+        # keep highest-gain candidates
+        ranked = sorted(counts.items(),
+                        key=lambda kv: (-(kv[1] * len(kv[0])), kv[0]))
+        table = SymbolTable([s for s, _ in ranked[:MAX_SYMBOLS]])
+    return table
+
+
+def fsst_compress(blob: bytes, iterations: int = 5) -> bytes:
+    data = np.frombuffer(blob, dtype=np.uint8)
+    table = train(data, iterations)
+    codes, n_codes = _parse(data, table)
+    out = bytearray()
+    out += table.to_bytes()
+    write_varint(out, len(codes))
+    out += bytes(codes)
+    return bytes(out)
+
+
+def fsst_decompress(buf) -> bytes:
+    buf = memoryview(buf)
+    table, pos = SymbolTable.from_buffer(buf, 0)
+    n_codes, pos = read_varint(buf, pos)
+    codes = np.frombuffer(buf, dtype=np.uint8, count=n_codes, offset=pos)
+    nsym = len(table.symbols)
+    # (nsym+1, 8) byte matrix; row nsym reserved for escaped literals
+    mat = np.zeros((nsym + 1, MAX_LEN), dtype=np.uint8)
+    lens = np.zeros(nsym + 1, dtype=np.int64)
+    for c, s in enumerate(table.symbols):
+        mat[c, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[c] = len(s)
+    lens[nsym] = 1
+
+    esc = codes == ESCAPE
+    # literal byte follows each escape; drop those positions from codes
+    lit_pos = np.nonzero(esc)[0] + 1
+    keep = np.ones(len(codes), dtype=bool)
+    keep[lit_pos] = False
+    eff_codes = np.where(esc, nsym, codes)[keep].astype(np.int64)
+    literals = codes[lit_pos]
+    mat[nsym, 0] = 0  # placeholder; literals filled after expansion
+
+    out_lens = lens[eff_codes]
+    total = int(out_lens.sum())
+    # expand: for each effective code, take lens[c] bytes of mat[c]
+    starts = np.zeros(len(eff_codes), dtype=np.int64)
+    np.cumsum(out_lens[:-1], out=starts[1:])
+    pos_in = np.arange(total, dtype=np.int64) - np.repeat(starts, out_lens)
+    out = mat[np.repeat(eff_codes, out_lens), pos_in]
+    # escaped literal positions are exactly the rows where eff_codes==nsym
+    lit_rows = np.nonzero(eff_codes == nsym)[0]
+    out[starts[lit_rows]] = literals
+    return out.tobytes()

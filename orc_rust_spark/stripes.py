@@ -42,6 +42,7 @@ from .kernels.for_codec import (
     int_dict_decode,
     int_dict_encode,
 )
+from .kernels.fsst import fsst_compress, fsst_decompress
 from .kernels.rle_v2 import rle_v2_decode, rle_v2_encode
 from .kernels.util import read_varint, write_varint
 
@@ -167,9 +168,12 @@ def _decode_int(codec: int, buf: bytes, n: int) -> np.ndarray:
 # string codecs at the stripe level
 # ---------------------------------------------------------------------------
 
-def _encode_string_auto(arr: pa.Array, fsst_encode=None) -> tuple[int, int, dict[int, bytes]]:
-    """Returns (codec, aux, streams). Dictionary when it wins, else direct
-    (optionally FSST-compressed blob)."""
+def _encode_string_auto(arr: pa.Array) -> tuple[int, int, dict[int, bytes]]:
+    """Returns (codec, aux, streams).  Candidates: direct, dictionary,
+    FSST-over-direct (kernels/fsst.py; north_star codec absent from the
+    reference).  FSST is tried only when a sampled compression estimate
+    predicts a win; the smallest actual encoding is chosen, ties broken
+    deterministically (direct < dict < fsst by candidate order)."""
     # non-null values as offsets/data via Arrow buffers (vectorized)
     comb = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     valid = comb.drop_null()
@@ -201,6 +205,17 @@ def _encode_string_auto(arr: pa.Array, fsst_encode=None) -> tuple[int, int, dict
                 codec, aux = C_STRING_DICT, len(uniq_arr)
                 streams = {K_DATA: idx_stream, K_DICT_LENGTH: dl_stream,
                            K_DICT_DATA: dict_blob}
+    # FSST attempt, sample-gated (blob must be big enough to amortize the
+    # symbol table and the estimate must predict a real win)
+    if len(data_blob) >= 2048:
+        probe = data_blob[: 1 << 16]
+        est = fsst_compress(probe)
+        if len(est) * 10 < len(probe) * 8:  # predicted ratio > 1.25
+            full = est if len(probe) == len(data_blob) else fsst_compress(data_blob)
+            best = sum(len(s) for s in streams.values())  # current winner
+            if len(full) + len(length_stream) < best:
+                codec, aux = C_FSST, 0
+                streams = {K_DATA: full, K_LENGTH: length_stream}
     return codec, aux, streams
 
 
@@ -459,9 +474,10 @@ def _respace_float(vals: np.ndarray, validity, n_rows: int, atype) -> pa.Array:
 
 
 def _decode_string(codec, aux, stream, n_valid, validity, n_rows, atype) -> pa.Array:
-    if codec == C_STRING_DIRECT:
+    if codec in (C_STRING_DIRECT, C_FSST):
         lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
-        blob = stream(K_DATA)
+        blob = fsst_decompress(stream(K_DATA)) if codec == C_FSST \
+            else stream(K_DATA)
         offsets_valid = np.zeros(n_valid + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets_valid[1:])
         if validity is None:
