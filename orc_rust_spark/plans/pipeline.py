@@ -59,13 +59,21 @@ def encode_corpus(
     waves: int = 1,
     partitions: int | None = None,
     plans: dict[str, ColumnPlan] | None = None,
+    auto_plan: bool = False,
     seed: int = 42,
 ) -> dict:
     """Encode a token DataFrame to `out_dir` (one subdir per wave).
 
+    With ``auto_plan`` the sampling pass (plans/sampling.py) runs once
+    up front and routes every column to a codec; RLEv2 always remains a
+    candidate so compressed size stays <= the reference's.
+
     Returns {waves_run, waves_skipped, wall_sec}."""
     spark = df.sparkSession
     t0 = time.monotonic()
+    if auto_plan and plans is None:
+        from .sampling import column_stats, plan_codecs
+        plans = plan_codecs(column_stats(df))
     partitions = partitions or spark.sparkContext.defaultParallelism
     bounds = _wave_boundaries(df, waves, seed)
     waves_run = 0

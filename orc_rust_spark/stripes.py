@@ -237,8 +237,18 @@ def _factorize_binary(valid: pa.Array) -> tuple[list[bytes], np.ndarray]:
 
 @dataclass
 class ColumnPlan:
-    """Optional per-column codec override (from the sampling pass)."""
+    """Per-column codec routing from the sampling pass.  The planned
+    codec narrows the candidate set but RLEv2 (the reference's own
+    encoding) always stays in the race, so the chosen size remains <=
+    the reference's compressed size on every stripe."""
     codec: int | None = None
+
+    def candidates(self) -> tuple[int, ...] | None:
+        if self.codec is None:
+            return None  # encoder default: try every candidate
+        if self.codec == C_RLEV2:
+            return (C_RLEV2,)
+        return (C_RLEV2, self.codec)
 
 
 def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = None) -> bytes:
@@ -273,20 +283,9 @@ def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = N
                 vals = valid_arr.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
             else:
                 vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-            if plan.codec is not None:
-                codec = plan.codec
-                if codec == C_RLEV2:
-                    data = rle_v2_encode(vals, signed=True)
-                elif codec == C_FOR:
-                    data = for_encode(vals)
-                elif codec == C_BITPACK:
-                    data = bitpack_encode(vals)
-                elif codec == C_INT_DICT:
-                    data = int_dict_encode(vals)
-                else:
-                    raise ValueError(f"bad int codec plan {codec}")
-            else:
-                codec, data = encode_int_auto(vals)
+            cand = plan.candidates()
+            codec, data = encode_int_auto(vals) if cand is None \
+                else encode_int_auto(vals, cand)
             streams[K_DATA] = data
         elif tcode == T_INT8:
             vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int8)
@@ -311,13 +310,9 @@ def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = N
             row_lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
             streams[K_LENGTH] = rle_v2_encode(row_lengths, signed=False)
             child = flat.to_numpy(zero_copy_only=False).astype(np.int64)
-            if plan.codec is not None:
-                codec = plan.codec
-                data = {C_RLEV2: rle_v2_encode, C_FOR: for_encode,
-                        C_BITPACK: bitpack_encode, C_INT_DICT: int_dict_encode}[codec](
-                    child) if codec != C_RLEV2 else rle_v2_encode(child, signed=True)
-            else:
-                codec, data = encode_int_auto(child)
+            cand = plan.candidates()
+            codec, data = encode_int_auto(child) if cand is None \
+                else encode_int_auto(child, cand)
             streams[K_DATA] = data
         else:
             raise TypeError(f"unsupported type code {tcode}")
