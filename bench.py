@@ -67,7 +67,12 @@ def main() -> None:
         return out
 
     # --- synthetic token corpus: the stable GB/s measurement -------------
-    synth = synthesize_tokens(spark, N_SYNTH_DOCS, seed=42, partitions=CPUS * 4)
+    # partition layout is FIXED (not a function of CPUS) so every
+    # parallelism level encodes the identical corpus — required by the
+    # two-cluster-size scaling protocol (BASELINE.md)
+    synth = synthesize_tokens(spark, N_SYNTH_DOCS, seed=42,
+                              partitions=int(os.environ.get(
+                                  "SPARK_GRAFT_SYNTH_PARTS", "128")))
     synth = synth.persist()
     n_docs, n_tokens = timed(
         "synth_materialize",

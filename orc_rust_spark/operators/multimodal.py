@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, batch feature extraction, and frame sampling.
+
+The image/audio decode libraries are not in this environment, so the
+decode step is STUBBED: ``decode_image`` raises ``NotImplementedError``
+unless a deterministic fake is requested.  Everything Spark-side is real
+and tested — schemas, Arrow batch shapes, ``mapInArrow`` signatures,
+partition behavior — so swapping in a real decoder is a one-function
+change inside the UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+import pyspark.sql.types as T
+
+PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("payload_bytes", T.LongType()),
+])
+
+
+def attach_payloads(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type, payload, payload_bytes); the
+    payload is the UTF-8 text bytes standing in for an opaque blob."""
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            text = b.column("text").cast(pa.binary())
+            n = pa.compute.binary_length(text).cast(pa.int64())
+            yield pa.record_batch(
+                [b.column("doc_id").cast(pa.int64()),
+                 pa.array(["text/fake-image"] * b.num_rows),
+                 text, n],
+                names=["doc_id", "media_type", "payload", "payload_bytes"])
+
+    return docs.select("doc_id", "text").mapInArrow(stage, PAYLOAD_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to HxWxC uint8.  Real decoding needs an
+    image library not present in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips; use fake=True for the "
+            "deterministic stand-in")
+    h = hashlib.sha256(payload).digest()
+    side = 4 + h[0] % 4
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    return rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload_bytes", T.LongType()),
+    T.StructField("payload_md5", T.StringType()),
+    T.StructField("feat", T.ArrayType(T.FloatType())),
+])
+
+
+def extract_features(payloads: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Batch feature extraction over the binary column.  The "model" is a
+    deterministic hash-seeded projection of the fake-decoded image; the
+    md5/byte-count outputs are exact and oracle-checkable."""
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("doc_id")
+            payloads_col = b.column("payload")
+            md5s = []
+            feats = []
+            sizes = []
+            for blob in payloads_col:
+                raw = blob.as_py()
+                sizes.append(len(raw))
+                md5s.append(hashlib.md5(raw).hexdigest())
+                img = decode_image(raw, fake=True)
+                vec = img.astype(np.float32).mean(axis=(0, 1))
+                feats.append(np.resize(vec, feat_dim).tolist())
+            yield pa.record_batch(
+                [ids, pa.array(sizes, pa.int64()), pa.array(md5s),
+                 pa.array(feats, pa.list_(pa.float32()))],
+                names=["doc_id", "payload_bytes", "payload_md5", "feat"])
+
+    return payloads.select("doc_id", "payload").mapInArrow(stage, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(payloads: DataFrame, frame_bytes: int = 64,
+                  every_k: int = 4) -> DataFrame:
+    """Treat the payload as a fake video: fixed-size frames, keep every
+    k-th (the frame-sampling plumbing of a video pipeline)."""
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            out_frames: list[bytes] = []
+            ids = b.column("doc_id").to_pylist()
+            for doc_id, blob in zip(ids, b.column("payload")):
+                raw = blob.as_py()
+                n_frames = max(len(raw) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_k):
+                    out_ids.append(doc_id)
+                    out_idx.append(fi)
+                    out_frames.append(raw[fi * frame_bytes:(fi + 1) * frame_bytes])
+            if out_ids:
+                yield pa.record_batch(
+                    [pa.array(out_ids, pa.int64()),
+                     pa.array(out_idx, pa.int32()),
+                     pa.array(out_frames, pa.binary())],
+                    names=["doc_id", "frame_idx", "frame"])
+
+    return payloads.select("doc_id", "payload").mapInArrow(stage, FRAME_SCHEMA)

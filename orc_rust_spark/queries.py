@@ -215,7 +215,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occasional hot bucket.
     """
     _register(spark, sf_dir, ["documents"])
-    sig = spark.sql(sql_minhash_signature(True))
+    f = _frag(True)
+    # distinct shingle sets computed ONCE and cached: signatures, bands
+    # and the Jaccard confirm all derive from it (min over a set equals
+    # min over the multiset, so values match the oracle exactly)
+    sh = spark.sql(
+        f"WITH {_shingles_cte(True, 5)} "
+        f"SELECT doc_id, {f['adistinct']}(shingles) AS ds FROM s").cache()
+    sig = sh.select(
+        "doc_id",
+        *[F.expr(f"array_min(transform(ds, x -> md5(concat('{i}:', x))))")
+          .alias(f"h{i}") for i in range(N_MINHASH)])
     band_structs = [
         F.struct(F.lit(b).alias("band_id"),
                  F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("key"))
@@ -228,10 +238,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
             .distinct())
-    f = _frag(True)
-    sh = spark.sql(
-        f"WITH {_shingles_cte(True, 5)} "
-        f"SELECT doc_id, {f['adistinct']}(shingles) AS ds FROM s")
     x, y = sh.alias("x"), sh.alias("y")
     joined = (cand
               .join(x, F.col("x.doc_id") == F.col("ida"))
@@ -431,6 +437,49 @@ def q_decode_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal + ANN queries
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: attach opaque blobs, batch-extract
+    features; byte counts and md5 are exact so the oracle recomputes
+    them from the source text."""
+    from .operators.multimodal import attach_payloads, extract_features
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(attach_payloads(docs)) \
+        .select("doc_id", "payload_bytes", "payload_md5")
+
+
+_MULTIMODAL_ORACLE = (
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes, "
+    "md5(text) AS payload_md5 FROM documents"
+)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_payloads, sample_frames
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payloads(docs), frame_bytes=64, every_k=4)
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
+_FRAME_ORACLE = (
+    "SELECT doc_id, CAST(fi AS INT) AS frame_idx, "
+    "md5(substr(text, fi * 64 + 1, 64)) AS frame_md5 "
+    "FROM documents, LATERAL (SELECT unnest(generate_series(0, "
+    "greatest(length(text) // 64, 1) - 1, 4)) AS fi)"
+)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: LSH bucket join + exact re-rank (rows-only check;
+    recall vs the exact baseline is asserted in tests)."""
+    from .operators.similarity import ann_lsh_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -458,6 +507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["jaccard_pairs"] = _sql_query(sql_jaccard_pairs, ["documents"])
     q["simhash"] = _sql_query(sql_simhash, ["documents"])
     q["embedding_topk"] = _sql_query(sql_embedding_topk, ["embeddings"])
+    q["ann_lsh_topk"] = q_ann_lsh_topk
+    q["multimodal_features"] = q_multimodal_features
+    q["frame_sample"] = q_frame_sample
     q["events_json"] = _sql_query(sql_events_json, ["events"])
     q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
     return q
@@ -483,6 +535,9 @@ def oracle_sql() -> dict[str, str]:
     o["jaccard_pairs"] = sql_jaccard_pairs(False)
     o["simhash"] = sql_simhash(False)
     o["embedding_topk"] = sql_embedding_topk(False)
+    # ann_lsh_topk: intentionally no oracle (approximate; rows-only check)
+    o["multimodal_features"] = _MULTIMODAL_ORACLE
+    o["frame_sample"] = _FRAME_ORACLE
     o["events_json"] = sql_events_json(False)
     o["lineitem_agg"] = sql_lineitem_agg(False)
     return o
