@@ -3,14 +3,15 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "extra": {...}}
 
-Headline set = the engine's hot paths: token encode+decode (synthetic
-corpus for a stable GB/s figure + documents-derived pipeline at the SF
-dir), full-table codec round-trip, and the scale-path training-data ops
-(MinHash-LSH dedup, SimHash, cosine top-k).
+Headline set = the engine's hot paths: fused parquet-scan+stripe-encode
+and stripe-decode of a fixed deterministic token corpus (the GB/s
+figures), plus the SF-dir pipeline and scale-path training-data ops
+(MinHash-LSH dedup, SimHash, cosine top-k, exact dedup).
 
-Scaling protocol (BASELINE.md): run `SPARK_GRAFT_CPUS=8 python bench.py`
-vs `SPARK_GRAFT_CPUS=32 python bench.py` on the same input; efficiency =
-(T_8 x 8) / (T_32 x 32) on the encode_synthetic throughput.
+Scaling protocol (BASELINE.md): tools/bench_scaling.py runs this file
+pinned to N and 4N cores (taskset) on the identical corpus and computes
+throughput scaling efficiency; SPARK_GRAFT_CODEC_ONLY=1 limits the run
+to the encode/decode measurements.
 """
 
 from __future__ import annotations
@@ -23,9 +24,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# glibc: serve large numpy blocks from the reused heap instead of fresh
+# mmaps — page-fault churn across many workers costs more than the codec
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "60000"))
+CODEC_ONLY = os.environ.get("SPARK_GRAFT_CODEC_ONLY") == "1"
+CORPUS_DIR = os.environ.get(
+    "SPARK_GRAFT_CORPUS_DIR", f"/tmp/tokencoder_corpus_{N_SYNTH_DOCS}")
 
 
 def main() -> None:
@@ -38,17 +47,25 @@ def main() -> None:
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     from orc_rust_spark.functions.tokens import TOKEN_SCHEMA, synthesize_tokens
     from orc_rust_spark.operators.decode import decode_pass
     from orc_rust_spark.operators.encode import encode_pass
+    from orc_rust_spark.sources.parquet_arrow import scan_encode_parquet
     from orc_rust_spark import queries as reg
 
-    # warm the reused Python workers (numpy/pyarrow imports, allocator
-    # pages) so timings measure steady-state throughput, not process spawn
+    # fixed deterministic corpus, written once; partition layout (128)
+    # does NOT depend on CPUS so every parallelism level reads the same
+    # bytes (two-cluster-size protocol requirement)
+    if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        synthesize_tokens(spark, N_SYNTH_DOCS, seed=42, partitions=128) \
+            .write.mode("overwrite").parquet(CORPUS_DIR)
+
+    # warm the reused Python workers (imports, allocator pages) so
+    # timings measure steady-state throughput, not process spawn
     warm = synthesize_tokens(spark, 2 * CPUS, seed=7, partitions=CPUS)
     decode_pass(encode_pass(warm, stripe_tokens=1 << 18), TOKEN_SCHEMA).count()
 
@@ -66,25 +83,17 @@ def main() -> None:
         timings[name] = round(best, 3)
         return out
 
-    # --- synthetic token corpus: the stable GB/s measurement -------------
-    # partition layout is FIXED (not a function of CPUS) so every
-    # parallelism level encodes the identical corpus — required by the
-    # two-cluster-size scaling protocol (BASELINE.md)
-    synth = synthesize_tokens(spark, N_SYNTH_DOCS, seed=42,
-                              partitions=int(os.environ.get(
-                                  "SPARK_GRAFT_SYNTH_PARTS", "128")))
-    synth = synth.persist()
-    n_docs, n_tokens = timed(
-        "synth_materialize",
-        lambda: tuple(synth.agg(F.count("*"), F.sum("n_tok")).collect()[0]))
-    input_bytes = int(n_tokens) * 4  # int32 payload
-
+    # --- fused scan+encode and decode: the GB/s measurements -------------
     timed("encode_synthetic",
-          lambda: encode_pass(synth, stripe_tokens=1 << 21)
+          lambda: scan_encode_parquet(spark, CORPUS_DIR, stripe_tokens=1 << 21)
           .agg(F.sum("output_bytes")).collect(), reps=2)
-    stripes = encode_pass(synth, stripe_tokens=1 << 21).persist()
-    out_bytes, n_stripes = tuple(
-        stripes.agg(F.sum("output_bytes"), F.count("*")).collect()[0])
+    # different budget => different plan, defeats accidental cache reuse
+    stripes = scan_encode_parquet(spark, CORPUS_DIR,
+                                  stripe_tokens=(1 << 21) + 1).persist()
+    out_bytes, n_stripes, n_tokens = tuple(
+        stripes.agg(F.sum("output_bytes"), F.count("*"),
+                    F.sum("n_tokens")).collect()[0])
+    input_bytes = int(n_tokens) * 4  # int32 payload
     extra["encode_GBps"] = round(input_bytes / timings["encode_synthetic"] / 1e9, 3)
     extra["bytes_per_token"] = round(int(out_bytes) / int(n_tokens), 3)
     extra["n_tokens"] = int(n_tokens)
@@ -98,13 +107,13 @@ def main() -> None:
     assert int(decoded_tokens) == int(n_tokens), "decode token-count mismatch"
     extra["decode_GBps"] = round(input_bytes / timings["decode_synthetic"] / 1e9, 3)
     stripes.unpersist()
-    synth.unpersist()
 
     # --- SF-dir pipeline + training-data ops ----------------------------
-    q = reg.queries()
-    for name in ["roundtrip_tokens", "roundtrip_lineitem", "minhash_lsh_pairs",
-                 "simhash", "embedding_topk", "exact_dedup", "lineitem_agg"]:
-        timed(name, lambda name=name: q[name](spark, SF_DIR).count(), reps=2)
+    if not CODEC_ONLY:
+        q = reg.queries()
+        for name in ["roundtrip_tokens", "roundtrip_lineitem", "minhash_lsh_pairs",
+                     "simhash", "embedding_topk", "exact_dedup", "lineitem_agg"]:
+            timed(name, lambda name=name: q[name](spark, SF_DIR).count(), reps=2)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1,0 +1,104 @@
+"""Decode-only codecs for ORC timestamps and decimals (SURVEY C13/C14).
+
+The reference writer emits neither (its encoder set is
+`src/writer/stripe.rs:173-189`), so like the reference these are
+read-path codecs; our own stripe format stores timestamps as int64
+micros through RLEv2 instead.
+
+Timestamp (`src/encoding/timestamp.rs:30-197`):
+  DATA      = seconds since 2015-01-01 epoch, RLEv2 signed
+  SECONDARY = nanoseconds with the 3-bit trailing-zero trick:
+              if (v & 7) != 0 the nanos are (v >> 3) * 10^((v&7)+1),
+              else v >> 3; plus the ORC-763 negative-seconds adjustment
+              (nanos > 0 with negative seconds borrows one second).
+
+Decimal (`src/encoding/decimal.rs:28-52`, `src/array_decoder/decimal.rs`):
+  DATA      = unbounded zigzag varints (mantissa, here bounded to i64/
+              Decimal128 within python-int range)
+  SECONDARY = per-value scale, RLEv2 signed; values are rescaled to the
+              column's fixed scale by *10^d / 10^-d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .rle_v2 import rle_v2_decode
+from .util import I64, read_varint_zigzagged
+
+# 2015-01-01T00:00:00Z in seconds since the unix epoch
+# (`src/array_decoder/timestamp.rs:49-51`)
+ORC_TS_BASE_SECONDS = 1_420_070_400
+
+
+def timestamp_decode(data_stream, secondary_stream, n: int,
+                     base_seconds: int = ORC_TS_BASE_SECONDS) -> np.ndarray:
+    """Decode the two-stream timestamp encoding to int64 nanoseconds
+    since the unix epoch (vectorized)."""
+    seconds = rle_v2_decode(data_stream, n, signed=True) + np.int64(base_seconds)
+    raw = rle_v2_decode(secondary_stream, n, signed=False)
+    zeros = (raw & np.int64(7)).astype(np.int64)
+    base = (raw >> np.int64(3)).astype(np.int64)
+    scale = np.power(10, np.where(zeros != 0, zeros + 1, 0)).astype(np.int64)
+    nanos = base * scale
+    # ORC-763: negative seconds with nanos > 999_999 borrow one second
+    # (`src/encoding/timestamp.rs:137-141`)
+    adjust = (seconds < 0) & (nanos > 999_999)
+    seconds = np.where(adjust, seconds - 1, seconds)
+    return seconds * np.int64(1_000_000_000) + nanos
+
+
+def timestamp_encode(nanos_since_epoch: np.ndarray,
+                     base_seconds: int = ORC_TS_BASE_SECONDS
+                     ) -> tuple[bytes, bytes]:
+    """Inverse of `timestamp_decode` (the reference has no timestamp
+    writer; this exists for roundtrip tests and our own sinks)."""
+    from .rle_v2 import rle_v2_encode
+    ns = np.ascontiguousarray(nanos_since_epoch, dtype=I64)
+    seconds = ns // np.int64(1_000_000_000)
+    nanos = ns - seconds * np.int64(1_000_000_000)
+    # undo the ORC-763 borrow (decode subtracts one second when stored
+    # seconds < 0 and nanos > 999_999)
+    adjust = (seconds < 0) & (nanos > 999_999)
+    seconds = np.where(adjust, seconds + 1, seconds)
+    if bool(np.any((seconds == 0) & adjust)):
+        # instants in (-1s, 0) with sub-millisecond nanos cannot round-trip
+        # under ORC-763 semantics — same hole as Java ORC / the reference
+        raise ValueError("timestamps in (-1s, 0) are not representable "
+                         "in ORC's two-stream encoding (ORC-763)")
+    # trailing-zero trick: count 10^k factors (k up to 7 encodable +1)
+    zeros = np.zeros(len(ns), dtype=np.int64)
+    base = nanos.copy()
+    for _ in range(9):
+        m = (base != 0) & (base % 10 == 0)
+        if not m.any():
+            break
+        base = np.where(m, base // 10, base)
+        zeros = np.where(m, zeros + 1, zeros)
+    enc_with = (base << np.int64(3)) | np.minimum(zeros - 1, 7)
+    raw = np.where(zeros >= 2, enc_with, nanos << np.int64(3))
+    # zeros==1 can't be encoded in the trick (field is zeros-1 >= 1)
+    raw = np.where(zeros == 1, nanos << np.int64(3), raw)
+    return (rle_v2_encode(seconds - np.int64(base_seconds), signed=True),
+            rle_v2_encode(raw, signed=False))
+
+
+def decimal_decode(data_stream, secondary_stream, n: int,
+                   target_scale: int) -> list[int]:
+    """Decode varint mantissas + per-value scales, rescaled to
+    `target_scale` (returns unscaled int mantissas; exact py-int math)."""
+    buf = memoryview(data_stream)
+    pos = 0
+    mantissas: list[int] = []
+    for _ in range(n):
+        v, pos = read_varint_zigzagged(buf, pos, True)
+        mantissas.append(v)
+    scales = rle_v2_decode(secondary_stream, n, signed=True)
+    out: list[int] = []
+    for m, s in zip(mantissas, scales.tolist()):
+        d = target_scale - s
+        if d >= 0:
+            out.append(m * 10 ** d)
+        else:
+            out.append(m // 10 ** (-d))
+    return out

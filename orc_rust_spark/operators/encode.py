@@ -24,7 +24,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 import pyspark.sql.types as T
 
-from ..stripes import CODEC_NAMES, ColumnPlan, encode_stripe
+from ..stripes import CODEC_NAMES, ColumnPlan, encode_stripe, wrap_compressed
 
 STRIPE_SCHEMA = T.StructType([
     T.StructField("stripe_id", T.StringType(), False),
@@ -54,9 +54,12 @@ _STRIPE_PA_SCHEMA = pa.schema([
 
 
 def _stripe_row(tbl: pa.Table, part_id: int, seq: int,
-                plans: dict[str, ColumnPlan] | None) -> dict:
+                plans: dict[str, ColumnPlan] | None,
+                block_compression: int = 0) -> dict:
     batch = tbl.combine_chunks().to_batches()[0] if tbl.num_rows else None
     blob = encode_stripe(batch, plans)
+    if block_compression:
+        blob = wrap_compressed(blob, block_compression)
     n_tokens = int(pa.compute.sum(
         pa.compute.list_value_length(tbl.column("tokens"))).as_py() or 0)
     doc_ids = tbl.column("doc_id")
@@ -97,50 +100,65 @@ def _codecs_of(blob: bytes) -> str:
     return json.dumps(codecs, sort_keys=True)
 
 
+def encode_batches(batches: Iterator[pa.RecordBatch], part_id: int,
+                   stripe_tokens: int = 1 << 21,
+                   plans: dict[str, ColumnPlan] | None = None,
+                   block_compression: int = 0) -> Iterator[pa.RecordBatch]:
+    """Pure-Arrow encode generator: buffers batches to the stripe token
+    budget, emits one (manifest + blob) row per stripe.  Shared by the
+    DataFrame operator below and the fused parquet scan+encode pipeline
+    (sources/parquet_arrow.py) — fusing matters because chaining two
+    Python stages forces an Arrow->UnsafeRow->Arrow round-trip of the
+    token arrays through the JVM, which costs more than encoding does."""
+    seq = 0
+    pending: list[pa.RecordBatch] = []
+    pending_tokens = 0
+
+    def flush(rows_tbl: pa.Table) -> pa.RecordBatch:
+        nonlocal seq
+        row = _stripe_row(rows_tbl, part_id, seq, plans, block_compression)
+        seq += 1
+        return pa.RecordBatch.from_pylist([row], schema=_STRIPE_PA_SCHEMA)
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = pending_tokens + np.cumsum(n_tok)
+        # emit full stripes whenever the running budget is crossed
+        start = 0
+        while True:
+            split = int(np.searchsorted(csum[start:], stripe_tokens, side="left"))
+            split_idx = start + split
+            if split_idx >= batch.num_rows:
+                break
+            # rows [start, split_idx] complete a stripe
+            chunk = batch.slice(start, split_idx - start + 1)
+            tbl = pa.Table.from_batches(pending + [chunk]) if pending else \
+                pa.Table.from_batches([chunk])
+            yield flush(tbl)
+            pending = []
+            pending_tokens = 0
+            csum = csum - csum[split_idx]
+            start = split_idx + 1
+        if start < batch.num_rows:
+            tail = batch.slice(start)
+            pending.append(tail)
+            pending_tokens = int(csum[-1])
+    if pending:
+        yield flush(pa.Table.from_batches(pending))
+
+
 def encode_pass(df: DataFrame, stripe_tokens: int = 1 << 21,
-                plans: dict[str, ColumnPlan] | None = None) -> DataFrame:
+                plans: dict[str, ColumnPlan] | None = None,
+                block_compression: int = 0) -> DataFrame:
     """Encode a token DataFrame into stripe rows.  Input partitioning is
     respected: one task encodes its partition into >=1 stripes."""
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
-        seq = 0
-        pending: list[pa.RecordBatch] = []
-        pending_tokens = 0
-
-        def flush(rows_tbl: pa.Table) -> pa.RecordBatch:
-            nonlocal seq
-            row = _stripe_row(rows_tbl, part_id, seq, plans)
-            seq += 1
-            return pa.RecordBatch.from_pylist([row], schema=_STRIPE_PA_SCHEMA)
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
-            csum = pending_tokens + np.cumsum(n_tok)
-            # emit full stripes whenever the running budget is crossed
-            start = 0
-            while True:
-                split = int(np.searchsorted(csum[start:], stripe_tokens, side="left"))
-                split_idx = start + split
-                if split_idx >= batch.num_rows:
-                    break
-                # rows [start, split_idx] complete a stripe
-                chunk = batch.slice(start, split_idx - start + 1)
-                tbl = pa.Table.from_batches(pending + [chunk]) if pending else \
-                    pa.Table.from_batches([chunk])
-                yield flush(tbl)
-                pending = []
-                pending_tokens = 0
-                csum = csum - csum[split_idx]
-                start = split_idx + 1
-            if start < batch.num_rows:
-                tail = batch.slice(start)
-                pending.append(tail)
-                pending_tokens = int(csum[-1])
-        if pending:
-            yield flush(pa.Table.from_batches(pending))
+        yield from encode_batches(batches, part_id, stripe_tokens, plans,
+                                  block_compression)
 
     return df.mapInArrow(encode_partition, STRIPE_SCHEMA)

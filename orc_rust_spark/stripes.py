@@ -47,6 +47,26 @@ from .kernels.rle_v2 import rle_v2_decode, rle_v2_encode
 from .kernels.util import read_varint, write_varint
 
 MAGIC = b"OSP1"
+MAGIC_COMPRESSED = b"OSPC"  # + u8 kind + ORC chunked stream of an OSP1 blob
+
+
+def wrap_compressed(blob: bytes, kind: int) -> bytes:
+    """Optionally wrap a stripe blob in ORC chunked block compression
+    (kernels/compression.py; §2.2 of SURVEY).  kind 0 returns as-is —
+    the reference writer also emits CompressionKind::None
+    (`src/arrow_writer.rs:251`)."""
+    from .kernels.compression import K_NONE, compress_stream
+    if kind == K_NONE:
+        return blob
+    return MAGIC_COMPRESSED + bytes([kind]) + compress_stream(blob, kind)
+
+
+def unwrap_compressed(blob) -> bytes:
+    buf = memoryview(blob)
+    if bytes(buf[:4]) != MAGIC_COMPRESSED:
+        return blob
+    from .kernels.compression import decompress_stream
+    return decompress_stream(buf[5:], buf[4])
 
 # type codes
 T_INT8, T_INT16, T_INT32, T_INT64 = 1, 2, 3, 4
@@ -174,14 +194,24 @@ def _encode_string_auto(arr: pa.Array) -> tuple[int, int, dict[int, bytes]]:
     reference).  FSST is tried only when a sampled compression estimate
     predicts a win; the smallest actual encoding is chosen, ties broken
     deterministically (direct < dict < fsst by candidate order)."""
-    # non-null values as offsets/data via Arrow buffers (vectorized)
+    # non-null values as offsets/data via Arrow buffers (vectorized).
+    # NOTE: sliced arrays carry an offset — index buffers()[1] from
+    # lb.offset and rebase the data slice, or every stripe after the
+    # first in a partition reads the wrong offsets (regression-tested).
     comb = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     valid = comb.drop_null()
-    data_blob = valid.cast(pa.large_binary()).buffers()[2]
-    data_blob = data_blob.to_pybytes() if data_blob is not None else b""
-    offsets = np.frombuffer(valid.cast(pa.large_binary()).buffers()[1], dtype=np.int64)
-    lengths = np.diff(offsets)
+    lb = valid.cast(pa.large_binary())
     n = len(valid)
+    if n == 0:
+        offsets = np.zeros(1, dtype=np.int64)
+        data_blob = b""
+    else:
+        raw_offsets = np.frombuffer(lb.buffers()[1], dtype=np.int64)
+        offsets = raw_offsets[lb.offset: lb.offset + n + 1]
+        dbuf = lb.buffers()[2]
+        data_blob = bytes(memoryview(dbuf)[offsets[0]: offsets[-1]]) \
+            if dbuf is not None else b""
+    lengths = np.diff(offsets)
 
     length_stream = rle_v2_encode(lengths, signed=False)
     direct_size = len(data_blob) + len(length_stream)
@@ -348,6 +378,7 @@ def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = N
 def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
     """Decode a stripe; `columns` projects (unprojected streams are never
     touched — the analog of `src/projection.rs` + `src/stripe.rs:159`)."""
+    blob = unwrap_compressed(blob)
     buf = memoryview(blob)
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("bad stripe magic")

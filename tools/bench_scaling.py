@@ -1,15 +1,19 @@
-"""Scaling-efficiency protocol (BASELINE.md): run the identical bench at
-local[N] and local[4N] on the same input, compute throughput scaling
-efficiency eff = (T_N * N) / (T_4N * 4N) for the encode and decode
-stages, and write the evidence to BENCH_SCALING.json.
+"""Scaling-efficiency protocol (BASELINE.md): run the identical
+codec-only bench pinned (taskset) to several core counts on the same
+fixed corpus; efficiency(N -> 4N) = (T_N * N) / (T_4N * 4N).
 
-Usage: python tools/bench_scaling.py [N]   (default N=8 -> 8 vs 32)
+Usage: python tools/bench_scaling.py [core counts...]   (default 1 4 8 32)
+
+Writes BENCH_SCALING.json with the full curve and the N=min vs 4N pair.
+Pinning matters: an unpinned local[N] JVM + Python workers spill onto
+every host core, which silently inflates the small-N throughput.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 from pathlib import Path
@@ -18,40 +22,46 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def run(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run([sys.executable, str(ROOT / "bench.py")],
-                         env=env, capture_output=True, text=True, timeout=3600)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_CODEC_ONLY="1")
+    cmd = [sys.executable, str(ROOT / "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=3600)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    lo = run(n)
-    hi = run(4 * n)
+    counts = [int(a) for a in sys.argv[1:]] or [1, 4, 8, 32]
+    runs = {c: run(c) for c in counts}
 
-    def eff(key: str) -> float:
-        t_lo = lo["queries"][key]
-        t_hi = hi["queries"][key]
-        return round((t_lo * n) / (t_hi * 4 * n), 3)
-
-    report = {
-        "n": n,
-        "4n": 4 * n,
-        "encode_sec": {str(n): lo["queries"]["encode_synthetic"],
-                       str(4 * n): hi["queries"]["encode_synthetic"]},
-        "decode_sec": {str(n): lo["queries"]["decode_synthetic"],
-                       str(4 * n): hi["queries"]["decode_synthetic"]},
-        "encode_GBps": {str(n): lo["extra"]["encode_GBps"],
-                        str(4 * n): hi["extra"]["encode_GBps"]},
-        "decode_GBps": {str(n): lo["extra"]["decode_GBps"],
-                        str(4 * n): hi["extra"]["decode_GBps"]},
-        "encode_scaling_efficiency": eff("encode_synthetic"),
-        "decode_scaling_efficiency": eff("decode_synthetic"),
-        "full": {"lo": lo, "hi": hi},
+    curve = {
+        str(c): {
+            "encode_sec": r["queries"]["encode_synthetic"],
+            "decode_sec": r["queries"]["decode_synthetic"],
+            "encode_GBps": r["extra"]["encode_GBps"],
+            "decode_GBps": r["extra"]["decode_GBps"],
+        } for c, r in runs.items()
     }
+
+    def eff(key: str, n: int, m: int) -> float:
+        t_n = runs[n]["queries"][key]
+        t_m = runs[m]["queries"][key]
+        return round((t_n * n) / (t_m * m), 3)
+
+    pairs = {}
+    for n in counts:
+        if 4 * n in runs:
+            pairs[f"{n}->{4 * n}"] = {
+                "encode": eff("encode_synthetic", n, 4 * n),
+                "decode": eff("decode_synthetic", n, 4 * n),
+            }
+
+    report = {"curve": curve, "scaling_efficiency": pairs,
+              "full": {str(c): r for c, r in runs.items()}}
     (ROOT / "BENCH_SCALING.json").write_text(json.dumps(report, indent=2))
-    print(json.dumps({k: v for k, v in report.items() if k != "full"}))
+    print(json.dumps({"curve": curve, "scaling_efficiency": pairs}))
 
 
 if __name__ == "__main__":
