@@ -24,6 +24,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 
 from ..operators.decode import decode_pass, spark_schema_for
 from ..operators.encode import MANIFEST_COLUMNS, encode_pass
@@ -36,6 +37,71 @@ TOKEN_PA_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
     ("n_tok", pa.int32()), ("source", pa.string()),
 ])
+
+
+def weighted_repartition(df: DataFrame, partitions: int,
+                         seed: int = 42) -> DataFrame:
+    """Range-partition by doc_id with TOKEN-MASS-balanced boundaries.
+
+    `repartitionByRange` balances row counts; with lognormal-heavy-tail
+    token lengths (FIXTURES F1) a few huge docs then skew stripe sizes
+    and task times.  Here a seeded sample of (doc_id, n_tok) yields
+    boundaries at equal cumulative-token quantiles and a vectorized
+    mapInArrow assigns each row its bucket by binary search.  Placement
+    uses `repartition(n, key)` on per-bucket salt values pre-solved
+    against Spark's own hash (`pmod(hash(v), n) == bucket`), because
+    range-partitioning the bucket id re-samples rows and collapses under
+    exactly the skew this function exists to fix, while raw hash
+    partitioning leaves ~1/e of buckets empty.  doc_id ranges stay
+    contiguous per partition, so manifest min/max pruning is
+    unaffected."""
+    import numpy as np
+    import pyarrow as pa
+
+    if partitions <= 1:
+        return df.coalesce(1)
+    n = df.count()
+    frac = min(1.0, 50_000.0 * partitions ** 0.5 / max(n, 1))
+    sample = (df.select("doc_id", "n_tok").sample(fraction=frac, seed=seed)
+              .toPandas().sort_values("doc_id"))
+    if len(sample) < partitions:
+        return df.repartitionByRange(partitions, "doc_id") \
+                 .sortWithinPartitions("doc_id")
+    mass = sample["n_tok"].to_numpy().cumsum()
+    targets = mass[-1] * (np.arange(1, partitions) / partitions)
+    idx = np.searchsorted(mass, targets)
+    bounds = sorted(set(sample["doc_id"].to_numpy()[idx].tolist()))
+
+    nparts = len(bounds) + 1
+    # per-bucket salt v with pmod(hash(v), nparts) == bucket, solved with
+    # Spark's own hash so every bucket lands in a distinct partition
+    spark = df.sparkSession
+    reps: dict[int, int] = {}
+    lo = 0
+    while len(reps) < nparts:
+        cand = (spark.range(lo, lo + max(nparts * 64, 1024))
+                .select(F.col("id").cast("int").alias("v"),
+                        F.pmod(F.hash(F.col("id").cast("int")),
+                               F.lit(nparts)).alias("h")).collect())
+        for r in cand:
+            reps.setdefault(r.h, r.v)
+        lo += max(nparts * 64, 1024)
+    salt = np.array([reps[i] for i in range(nparts)], dtype=np.int32)
+
+    fields = list(df.schema.fields) + [T.StructField("pid", T.IntegerType())]
+    schema = T.StructType(fields)
+    barr = np.array(bounds, dtype=object)
+
+    def assign(batches):
+        for b in batches:
+            ids = np.array(b.column("doc_id").to_pylist(), dtype=object)
+            bucket = np.searchsorted(barr, ids, side="right")
+            yield b.append_column("pid", pa.array(salt[bucket], pa.int32()))
+
+    return (df.mapInArrow(assign, schema)
+            .repartition(nparts, "pid")
+            .sortWithinPartitions("doc_id")
+            .drop("pid"))
 
 
 def _wave_boundaries(df: DataFrame, waves: int, seed: int = 42) -> list[str]:
@@ -60,6 +126,7 @@ def encode_corpus(
     partitions: int | None = None,
     plans: dict[str, ColumnPlan] | None = None,
     auto_plan: bool = False,
+    weighted: bool = False,
     seed: int = 42,
 ) -> dict:
     """Encode a token DataFrame to `out_dir` (one subdir per wave).
@@ -92,8 +159,11 @@ def encode_corpus(
             if hi is not None:
                 sub = sub.filter(F.col("doc_id") < hi)
         per_wave_parts = max(partitions // max(waves, 1), 1) if waves > 1 else partitions
-        sub = sub.repartitionByRange(per_wave_parts, "doc_id") \
-                 .sortWithinPartitions("doc_id")
+        if weighted:
+            sub = weighted_repartition(sub, per_wave_parts, seed)
+        else:
+            sub = sub.repartitionByRange(per_wave_parts, "doc_id") \
+                     .sortWithinPartitions("doc_id")
         encode_pass(sub, stripe_tokens, plans).write.mode("overwrite").parquet(wave_dir)
         waves_run += 1
     return {"waves_run": waves_run, "waves_skipped": waves_skipped,

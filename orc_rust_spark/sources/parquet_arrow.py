@@ -29,8 +29,9 @@ import pyspark.sql.types as T
 from ..operators.decode import spark_schema_for
 
 
-def list_fragments(path: str, row_groups_per_task: int = 1) -> list[tuple[str, list[int]]]:
-    """(file, row-group ids) task descriptions for a parquet dir/file."""
+def list_fragments(path: str | list[str],
+                   row_groups_per_task: int = 1) -> list[tuple[str, list[int]]]:
+    """(file, row-group ids) task descriptions for parquet dir/file(s)."""
     dataset = pads.dataset(path, format="parquet")
     tasks: list[tuple[str, list[int]]] = []
     for frag in dataset.get_fragments():

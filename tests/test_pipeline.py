@@ -96,3 +96,52 @@ def test_tokens_from_documents(spark):
     a = tok.agg(F.sum(F.expr("aggregate(tokens, 0L, (acc, x) -> acc + x)"))).collect()[0][0]
     b = tok.agg(F.sum(F.expr("aggregate(tokens, 0L, (acc, x) -> acc + x)"))).collect()[0][0]
     assert a == b
+
+
+def test_weighted_repartition_balances_token_mass(spark):
+    """Skew handling (north rule): token-mass-weighted range partitioning
+    must beat plain row-count range partitioning on a heavy-tailed corpus."""
+    import pyarrow as pa
+    from collections.abc import Iterator
+    import pyspark.sql.types as T
+    from orc_rust_spark.plans.pipeline import weighted_repartition
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        # only the partition holding the seed row generates (mapInArrow
+        # runs the function in EVERY partition, even empty ones)
+        if not any(b.num_rows for b in batches):
+            return
+        rng = np.random.default_rng(0)
+        n = 2000
+        lens = rng.integers(10, 50, n)
+        lens[: n // 50] = 20_000  # 2% huge docs, clustered at the front
+        for i in range(n):
+            toks = rng.integers(0, 100, lens[i]).astype(np.int32)
+            yield pa.record_batch(
+                [pa.array([f"doc{i:08d}"]),
+                 pa.array([toks.tolist()], pa.list_(pa.int32())),
+                 pa.array([len(toks)], pa.int32()), pa.array(["w"])],
+                names=["doc_id", "tokens", "n_tok", "source"])
+
+    from orc_rust_spark.functions.tokens import TOKEN_SCHEMA
+    df = spark.range(1).mapInArrow(gen, TOKEN_SCHEMA).cache()
+
+    def max_share(d, parts):
+        pid_mass = (d.withColumn("p", F.spark_partition_id())
+                    .groupBy("p").agg(F.sum("n_tok").alias("m")).collect())
+        masses = [r.m for r in pid_mass]
+        return max(masses) / sum(masses)
+
+    plain = df.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    weighted = weighted_repartition(df, 8)
+    s_plain, s_weighted = max_share(plain, 8), max_share(weighted, 8)
+    assert s_weighted < s_plain, (s_plain, s_weighted)
+    assert s_weighted < 0.35, s_weighted  # near 1/8 ideal, tolerant
+    assert weighted.count() == 2000
+    # doc_id ranges stay disjoint per partition (pruning still valid)
+    rows = (weighted.withColumn("p", F.spark_partition_id())
+            .groupBy("p").agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .orderBy("lo").collect())
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo

@@ -38,6 +38,8 @@ def test_plan_low_cardinality_routes_dict(spark):
     import pyspark.sql.types as T
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if not any(b.num_rows for b in batches):
+            return
         rng = np.random.default_rng(0)
         # 8 distinct values spread over a huge range -> dict should win
         vals = rng.choice(np.array([0, 1 << 40, 2 << 40, 3 << 40, 4 << 40,

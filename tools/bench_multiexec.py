@@ -1,0 +1,137 @@
+"""Two-cluster-size scaling, executor-granular (the closest sandbox
+emulation of "N vs 4N executors" the north rule asks for):
+
+- 1 executor  = one pinned 4-core local[4] Spark JVM encoding the WHOLE
+  corpus.
+- 4 executors = four simultaneous pinned 4-core local[4] JVMs on
+  disjoint core sets, each encoding a disjoint quarter of the same
+  corpus (files split round-robin).
+
+Every executor warms up, signals ready, and waits for a shared go-flag,
+so the timed window covers steady-state encode only — exactly what adds
+executors to a cluster changes.  efficiency = T_1exec / (4 * T_4exec).
+
+Usage: python tools/bench_multiexec.py  -> writes BENCH_MULTIEXEC.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "150000"))
+CORPUS = os.environ.get("SPARK_GRAFT_CORPUS_DIR",
+                        f"/tmp/tokencoder_corpus_{N_DOCS}")
+
+_WORKER = r"""
+import glob, json, os, sys, time
+sys.path.insert(0, {root!r})
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+cores, idx, n_execs, ready, go, result = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+    sys.argv[4], sys.argv[5], sys.argv[6])
+spark = (SparkSession.builder.master(f"local[{{cores}}]")
+         .config("spark.sql.shuffle.partitions", str(cores))
+         .config("spark.driver.memory", "8g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from orc_rust_spark.functions.tokens import TOKEN_SCHEMA, synthesize_tokens
+from orc_rust_spark.operators.encode import encode_pass
+from orc_rust_spark.operators.decode import decode_pass
+from orc_rust_spark.sources.parquet_arrow import scan_encode_parquet
+files = sorted(glob.glob(os.path.join({corpus!r}, "*.parquet")))[idx::n_execs]
+warm = synthesize_tokens(spark, 2 * cores, seed=7, partitions=cores)
+decode_pass(encode_pass(warm, stripe_tokens=1 << 18), TOKEN_SCHEMA).count()
+scan_encode_parquet(spark, files[:2], stripe_tokens=1 << 21) \
+    .agg(F.sum("output_bytes")).collect()
+open(ready, "w").write("1")
+while not os.path.exists(go):
+    time.sleep(0.02)
+t0 = time.monotonic()
+r = scan_encode_parquet(spark, files, stripe_tokens=1 << 21) \
+    .agg(F.sum("output_bytes"), F.sum("n_tokens")).collect()[0]
+dt = time.monotonic() - t0
+json.dump({{"sec": dt, "out_bytes": int(r[0]), "n_tokens": int(r[1])}},
+          open(result, "w"))
+spark.stop()
+"""
+
+
+def run_cluster(n_execs: int, tmp: str) -> dict:
+    procs = []
+    readies, results = [], []
+    go = os.path.join(tmp, f"go_{n_execs}")
+    script = os.path.join(tmp, "worker.py")
+    with open(script, "w") as f:
+        f.write(_WORKER.format(root=str(ROOT), corpus=CORPUS))
+    for i in range(n_execs):
+        ready = os.path.join(tmp, f"ready_{n_execs}_{i}")
+        result = os.path.join(tmp, f"result_{n_execs}_{i}")
+        readies.append(ready)
+        results.append(result)
+        lo = i * CORES_PER_EXEC
+        mask = f"{lo}-{lo + CORES_PER_EXEC - 1}"
+        procs.append(subprocess.Popen(
+            ["taskset", "-c", mask, sys.executable, script,
+             str(CORES_PER_EXEC), str(i), str(n_execs), ready, go, result],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    while not all(os.path.exists(r) for r in readies):
+        time.sleep(0.1)
+        if any(p.poll() not in (None, 0) for p in procs):
+            raise RuntimeError("executor died during warmup")
+    t0 = time.monotonic()
+    open(go, "w").write("1")
+    for p in procs:
+        p.wait(timeout=1800)
+    wall = time.monotonic() - t0
+    outs = [json.load(open(r)) for r in results]
+    return {"wall_sec": round(wall, 3),
+            "exec_sec": [o["sec"] for o in outs],
+            "n_tokens": sum(o["n_tokens"] for o in outs),
+            "out_bytes": sum(o["out_bytes"] for o in outs)}
+
+
+def main() -> None:
+    # ensure corpus exists (reuse bench.py's generator via a quick session)
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_CODEC_ONLY="1",
+                   SPARK_GRAFT_SYNTH_DOCS=str(N_DOCS))
+        subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,
+                       capture_output=True, timeout=3600)
+    # alternate configs and keep each config's best run: the host is a
+    # shared VM whose identical runs vary 2-3x, so min-of-alternating is
+    # the only way to compare configurations at equal background load
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    one = four = None
+    for _ in range(reps):
+        with tempfile.TemporaryDirectory() as tmp:
+            a = run_cluster(1, tmp)
+            b = run_cluster(4, tmp)
+        if one is None or a["wall_sec"] < one["wall_sec"]:
+            one = a
+        if four is None or b["wall_sec"] < four["wall_sec"]:
+            four = b
+    thr1 = one["n_tokens"] * 4 / one["wall_sec"] / 1e9
+    thr4 = four["n_tokens"] * 4 / four["wall_sec"] / 1e9
+    eff = round(thr4 / (4 * thr1), 3)
+    report = {
+        "cores_per_executor": CORES_PER_EXEC,
+        "one_executor": one, "four_executors": four,
+        "encode_GBps": {"1_exec": round(thr1, 4), "4_execs": round(thr4, 4)},
+        "encode_scaling_efficiency_1_to_4_executors": eff,
+    }
+    (ROOT / "BENCH_MULTIEXEC.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
