@@ -22,7 +22,17 @@ def pack_ints(values: np.ndarray, width: int) -> bytes:
     if n == 0:
         return b""
     if width % 8 == 0:
-        # byte-aligned: big-endian bytes truncated to width/8 low bytes
+        # byte-aligned: big-endian bytes truncated to width/8 low bytes.
+        # exact-container fast paths (8/16/32/64) skip the 8-byte
+        # intermediate — w=16 is the token hot path
+        if width == 8:
+            return v.astype(np.uint8).tobytes()
+        if width == 16:
+            return v.astype(">u2").tobytes()
+        if width == 32:
+            return v.astype(">u4").tobytes()
+        if width == 64:
+            return v.astype(">u8").tobytes()
         nbytes = width // 8
         be = v.astype(">u8").view(np.uint8).reshape(n, 8)
         return be[:, 8 - nbytes :].tobytes()
@@ -42,6 +52,15 @@ def unpack_ints(buf, pos: int, n: int, width: int) -> tuple[np.ndarray, int]:
     if width % 8 == 0:
         nbytes = width // 8
         total = n * nbytes
+        if width == 8:
+            vals = np.frombuffer(buf, np.uint8, n, pos).astype(U64)
+            return vals, pos + total
+        if width == 16:
+            return np.frombuffer(buf, ">u2", n, pos).astype(U64), pos + total
+        if width == 32:
+            return np.frombuffer(buf, ">u4", n, pos).astype(U64), pos + total
+        if width == 64:
+            return np.frombuffer(buf, ">u8", n, pos).astype(U64), pos + total
         raw = np.frombuffer(buf, dtype=np.uint8, count=total, offset=pos)
         out = np.zeros((n, 8), dtype=np.uint8)
         out[:, 8 - nbytes :] = raw.reshape(n, nbytes)
@@ -95,8 +114,17 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
         return np.empty(0, dtype=U64)
     if width % 8 == 0:
         nbytes = width // 8
+        r = np.ascontiguousarray(np.asarray(raw, dtype=np.uint8))
+        if width == 8:
+            return r[:n].astype(U64)
+        if width == 16:
+            return r.view(">u2")[:n].astype(U64)
+        if width == 32:
+            return r.view(">u4")[:n].astype(U64)
+        if width == 64:
+            return r.view(">u8")[:n].astype(U64)
         out = np.zeros((n, 8), dtype=np.uint8)
-        out[:, 8 - nbytes:] = np.asarray(raw).reshape(n, nbytes)
+        out[:, 8 - nbytes:] = r.reshape(n, nbytes)
         return out.reshape(-1).view(">u8").astype(U64)
     K = len(lens)
     byte_lens = (lens * width + 7) // 8

@@ -131,8 +131,8 @@ def _parse(data: np.ndarray, table: SymbolTable) -> tuple[list[int], int]:
     return out, len(out)
 
 
-def train(data: np.ndarray, iterations: int = 5,
-          sample_bytes: int = 1 << 16) -> SymbolTable:
+def train(data: np.ndarray, iterations: int = 4,
+          sample_bytes: int = 1 << 14) -> SymbolTable:
     """Iterative symbol-table construction on a bounded sample (paper §3)."""
     sample = data[:sample_bytes]
     table = SymbolTable([])
@@ -166,7 +166,7 @@ def train(data: np.ndarray, iterations: int = 5,
     return table
 
 
-def fsst_compress(blob: bytes, iterations: int = 5) -> bytes:
+def fsst_compress(blob: bytes, iterations: int = 4) -> bytes:
     data = np.frombuffer(blob, dtype=np.uint8)
     table = train(data, iterations)
     codes, n_codes = _parse(data, table)
@@ -191,10 +191,20 @@ def fsst_decompress(buf) -> bytes:
         lens[c] = len(s)
     lens[nsym] = 1
 
-    esc = codes == ESCAPE
-    # literal byte follows each escape; drop those positions from codes
+    # Escape detection must respect parity: a literal byte 0xFF following
+    # an escape is NOT itself an escape.  Within each maximal run of 0xFF
+    # codes, escapes sit at even offsets (run start is never a literal
+    # slot: the preceding escape, if any, would be part of the run).
+    is255 = codes == ESCAPE
+    nc = len(codes)
+    idx = np.arange(nc, dtype=np.int64)
+    run_start = is255 & np.concatenate(([True], ~is255[:-1]))
+    start_pos = np.maximum.accumulate(np.where(run_start, idx, -1))
+    esc = is255 & ((idx - start_pos) % 2 == 0)
     lit_pos = np.nonzero(esc)[0] + 1
-    keep = np.ones(len(codes), dtype=bool)
+    if len(lit_pos) and lit_pos[-1] >= nc:
+        raise ValueError("truncated FSST stream: escape at end of codes")
+    keep = np.ones(nc, dtype=bool)
     keep[lit_pos] = False
     eff_codes = np.where(esc, nsym, codes)[keep].astype(np.int64)
     literals = codes[lit_pos]

@@ -238,7 +238,7 @@ def _encode_string_auto(arr: pa.Array) -> tuple[int, int, dict[int, bytes]]:
     # FSST attempt, sample-gated (blob must be big enough to amortize the
     # symbol table and the estimate must predict a real win)
     if len(data_blob) >= 2048:
-        probe = data_blob[: 1 << 16]
+        probe = data_blob[: 1 << 14]
         est = fsst_compress(probe)
         if len(est) * 10 < len(probe) * 8:  # predicted ratio > 1.25
             full = est if len(probe) == len(data_blob) else fsst_compress(data_blob)

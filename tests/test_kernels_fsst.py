@@ -132,3 +132,18 @@ def test_sliced_batch_string_encode():
         rb = decode_stripe(encode_stripe(part))
         assert rb.column("text").to_pylist() == part.column("text").to_pylist()
         assert rb.column("cat").to_pylist() == part.column("cat").to_pylist()
+
+
+def test_fsst_escaped_0xff_literals():
+    """Regression: a literal 0xFF byte after an escape must not be
+    parsed as another escape marker (run-parity detection)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = b"the quick brown fox jumps over the lazy dog " * 100
+    raw = bytearray(base)
+    # sprinkle rare high bytes (incl. 0xFF) the symbol table won't learn
+    for pos in rng.integers(0, len(raw), 60):
+        raw[pos] = int(rng.integers(250, 256))
+    for blob in [bytes(raw), b"a\xff" * 7 + b"irregular \xff\xff\xff tail",
+                 b"\xff" + b"word " * 300 + b"\xff\xff"]:
+        assert fsst_decompress(fsst_compress(blob)) == blob
