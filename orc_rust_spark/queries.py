@@ -387,6 +387,7 @@ _ROUNDTRIP_COLS = {
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
     "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
     "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "embeddings": ["vec_id", "embedding", "label"],
 }
 
 

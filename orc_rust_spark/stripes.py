@@ -76,6 +76,9 @@ T_BOOL = 9
 T_LIST_INT32 = 10
 T_DATE32 = 11
 T_TIMESTAMP_US = 12
+T_STRUCT = 13
+T_MAP = 14
+T_LIST_GEN = 15
 
 # codec codes
 C_RAW = 0
@@ -120,8 +123,14 @@ _INT_TYPES = {T_INT16, T_INT32, T_INT64, T_DATE32, T_TIMESTAMP_US}
 def _type_code(t: pa.DataType) -> int:
     if t in _PA_TYPE_CODES:
         return _PA_TYPE_CODES[t]
+    if pa.types.is_map(t):
+        return T_MAP
     if pa.types.is_list(t) and t.value_type in (pa.int32(), pa.int64()):
         return T_LIST_INT32
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T_LIST_GEN
+    if pa.types.is_struct(t):
+        return T_STRUCT
     if pa.types.is_timestamp(t):
         return T_TIMESTAMP_US
     raise TypeError(f"unsupported column type: {t}")
@@ -281,79 +290,117 @@ class ColumnPlan:
         return (C_RLEV2, self.codec)
 
 
+def _combine(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _encode_column(name, arr, plan, metas, streams_out) -> None:
+    """Recursive column encoder: appends (meta, streams) entries
+    depth-first — nested types (struct/map/list) mirror the reference's
+    column-tree decomposition (`src/schema.rs:240-320`, §2.5): parent
+    PRESENT + child columns, LENGTH streams for list-likes."""
+    arr = _combine(arr)
+    tcode = _type_code(arr.type)
+    has_present = 1 if arr.null_count > 0 else 0
+    streams: dict[int, bytes] = {}
+    if has_present:
+        validity = np.asarray(arr.is_valid())
+        streams[K_PRESENT] = boolean_encode(validity)
+        valid_arr = _combine(arr.drop_null())
+    else:
+        valid_arr = arr
+    aux = 0
+    codec = C_RAW
+
+    if tcode in _INT_TYPES:
+        if tcode == T_TIMESTAMP_US:
+            vals = valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        elif tcode == T_DATE32:
+            vals = valid_arr.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = plan.candidates()
+        codec, data = encode_int_auto(vals) if cand is None \
+            else encode_int_auto(vals, cand)
+        streams[K_DATA] = data
+    elif tcode == T_INT8:
+        vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int8)
+        codec = C_BYTE_RLE
+        streams[K_DATA] = byte_rle_encode(vals)
+    elif tcode in (T_FLOAT32, T_FLOAT64):
+        dt = np.float32 if tcode == T_FLOAT32 else np.float64
+        vals = valid_arr.to_numpy(zero_copy_only=False).astype(dt)
+        codec = C_FLOAT
+        streams[K_DATA] = float_encode(vals)
+    elif tcode == T_BOOL:
+        vals = valid_arr.to_numpy(zero_copy_only=False).astype(bool)
+        codec = C_BOOLEAN
+        streams[K_DATA] = boolean_encode(vals)
+    elif tcode in (T_STRING, T_BINARY):
+        codec, aux, sstreams = _encode_string_auto(valid_arr)
+        streams.update(sstreams)
+    elif tcode == T_LIST_INT32:
+        lv = valid_arr.cast(pa.list_(pa.int32()))
+        flat = lv.flatten()
+        row_lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        streams[K_LENGTH] = rle_v2_encode(row_lengths, signed=False)
+        child = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = plan.candidates()
+        codec, data = encode_int_auto(child) if cand is None \
+            else encode_int_auto(child, cand)
+        streams[K_DATA] = data
+    elif tcode == T_STRUCT:
+        aux = valid_arr.type.num_fields
+        metas.append((name, tcode, has_present, codec, aux))
+        streams_out.append(streams)
+        for i in range(aux):
+            f = valid_arr.type.field(i)
+            _encode_column(f.name, valid_arr.field(i), ColumnPlan(),
+                           metas, streams_out)
+        return
+    elif tcode in (T_MAP, T_LIST_GEN):
+        if tcode == T_MAP:
+            t = valid_arr.type
+            lv = valid_arr.cast(pa.list_(pa.struct([
+                ("key", t.key_type), ("value", t.item_type)])))
+        else:
+            lv = valid_arr
+        row_lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        streams[K_LENGTH] = rle_v2_encode(row_lengths, signed=False)
+        aux = 1
+        metas.append((name, tcode, has_present, codec, aux))
+        streams_out.append(streams)
+        _encode_column("item", lv.flatten(), ColumnPlan(), metas, streams_out)
+        return
+    else:
+        raise TypeError(f"unsupported type code {tcode}")
+
+    metas.append((name, tcode, has_present, codec, aux))
+    streams_out.append(streams)
+
+
 def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = None) -> bytes:
     plans = plans or {}
     n_rows = batch.num_rows
     header = bytearray()
     stream_dir = bytearray()
     payload = bytearray()
-    col_metas = []
-    all_streams: list[tuple[int, int, bytes]] = []
+    col_metas: list[tuple] = []
+    col_streams: list[dict[int, bytes]] = []
 
     for ci, field in enumerate(batch.schema):
-        arr = batch.column(ci)
-        tcode = _type_code(field.type)
-        null_count = arr.null_count
-        has_present = 1 if null_count > 0 else 0
-        streams: dict[int, bytes] = {}
-        if has_present:
-            validity = np.asarray(arr.is_valid())
-            streams[K_PRESENT] = boolean_encode(validity)
-            valid_arr = arr.drop_null()
-        else:
-            valid_arr = arr
+        _encode_column(field.name, batch.column(ci),
+                       plans.get(field.name, ColumnPlan()),
+                       col_metas, col_streams)
 
-        plan = plans.get(field.name, ColumnPlan())
-        aux = 0
-
-        if tcode in _INT_TYPES:
-            if tcode == T_TIMESTAMP_US:
-                vals = valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            elif tcode == T_DATE32:
-                vals = valid_arr.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
-            else:
-                vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-            cand = plan.candidates()
-            codec, data = encode_int_auto(vals) if cand is None \
-                else encode_int_auto(vals, cand)
-            streams[K_DATA] = data
-        elif tcode == T_INT8:
-            vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int8)
-            codec = C_BYTE_RLE
-            streams[K_DATA] = byte_rle_encode(vals)
-        elif tcode in (T_FLOAT32, T_FLOAT64):
-            dt = np.float32 if tcode == T_FLOAT32 else np.float64
-            vals = valid_arr.to_numpy(zero_copy_only=False).astype(dt)
-            codec = C_FLOAT
-            streams[K_DATA] = float_encode(vals)
-        elif tcode == T_BOOL:
-            vals = valid_arr.to_numpy(zero_copy_only=False).astype(bool)
-            codec = C_BOOLEAN
-            streams[K_DATA] = boolean_encode(vals)
-        elif tcode in (T_STRING, T_BINARY):
-            codec, aux, sstreams = _encode_string_auto(valid_arr)
-            streams.update(sstreams)
-        elif tcode == T_LIST_INT32:
-            comb = valid_arr.combine_chunks() if isinstance(valid_arr, pa.ChunkedArray) else valid_arr
-            lv = comb.cast(pa.list_(pa.int32()))
-            flat = lv.flatten()
-            row_lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-            streams[K_LENGTH] = rle_v2_encode(row_lengths, signed=False)
-            child = flat.to_numpy(zero_copy_only=False).astype(np.int64)
-            cand = plan.candidates()
-            codec, data = encode_int_auto(child) if cand is None \
-                else encode_int_auto(child, cand)
-            streams[K_DATA] = data
-        else:
-            raise TypeError(f"unsupported type code {tcode}")
-
-        col_metas.append((field.name, tcode, has_present, codec, aux))
+    all_streams: list[tuple[int, int, bytes]] = []
+    for ci, streams in enumerate(col_streams):
         for kind, blob in sorted(streams.items()):
             all_streams.append((ci, kind, blob))
 
     header += MAGIC
     write_varint(header, n_rows)
-    write_varint(header, batch.num_columns)
+    write_varint(header, len(col_metas))
     for name, tcode, has_present, codec, aux in col_metas:
         nb = name.encode()
         write_varint(header, len(nb))
@@ -374,6 +421,114 @@ def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = N
 # ---------------------------------------------------------------------------
 # stripe decode
 # ---------------------------------------------------------------------------
+
+def _subtree_size(metas, mi: int) -> int:
+    _, tcode, _, _, aux = metas[mi]
+    size = 1
+    if tcode == T_STRUCT:
+        for _ in range(aux):
+            size += _subtree_size(metas, mi + size)
+    elif tcode in (T_MAP, T_LIST_GEN):
+        size += _subtree_size(metas, mi + size)
+    return size
+
+
+def _expand_with_nulls(arr: pa.Array, validity, n_rows: int) -> pa.Array:
+    """Spread n_valid values over n_rows via take-with-null-indices
+    (the nested-type analog of decode_spaced)."""
+    if validity is None:
+        return arr
+    idx = np.full(n_rows, -1, dtype=np.int64)
+    idx[validity] = np.arange(len(arr), dtype=np.int64)
+    return arr.take(pa.array(idx, pa.int64(), mask=~validity))
+
+
+def _list_offsets(row_lengths: np.ndarray, validity, n_rows: int,
+                  n_valid: int) -> tuple[pa.Array, pa.Array | None]:
+    offsets_valid = np.zeros(n_valid + 1, dtype=np.int64)
+    np.cumsum(row_lengths, out=offsets_valid[1:])
+    if validity is None:
+        return pa.array(offsets_valid.astype(np.int32), pa.int32()), None
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    idx = np.cumsum(validity)
+    offsets[1:] = offsets_valid[idx]
+    return (pa.array(offsets.astype(np.int32), pa.int32()),
+            pa.array(~validity))
+
+
+def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
+    """Recursive column decoder: consumes metas depth-first, producing
+    an Arrow array of exactly n rows."""
+    name, tcode, has_present, codec, aux = metas[mi]
+
+    def stream(kind: int):
+        return stream_for(mi, kind)
+
+    if has_present:
+        validity = boolean_decode(stream(K_PRESENT), n)
+        n_valid = int(validity.sum())
+    else:
+        validity = None
+        n_valid = n
+
+    if tcode == T_STRUCT:
+        children = []
+        names = []
+        mj = mi + 1
+        for _ in range(aux):
+            names.append(metas[mj][0])
+            child, mj = _decode_tree(metas, mj, stream_for, n_valid)
+            children.append(child)
+        st = pa.StructArray.from_arrays(children, names)
+        return _expand_with_nulls(st, validity, n), mj
+
+    if tcode in (T_MAP, T_LIST_GEN):
+        row_lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
+        total = int(row_lengths.sum())
+        child, mj = _decode_tree(metas, mi + 1, stream_for, total)
+        offsets, mask = _list_offsets(row_lengths, validity, n, n_valid)
+        if tcode == T_MAP:
+            entries = child
+            lst = pa.ListArray.from_arrays(offsets, entries, mask=mask)
+            # rebuild as a MapArray from the list-of-struct layout
+            arr = pa.MapArray.from_arrays(
+                lst.offsets, lst.values.field(0), lst.values.field(1))
+            if mask is not None:
+                # MapArray.from_arrays lacks a mask param: null via take
+                idx = np.arange(n, dtype=np.int64)
+                arr = arr.take(pa.array(idx, pa.int64(),
+                                        mask=np.asarray(mask)))
+            return arr, mj
+        return pa.ListArray.from_arrays(offsets, child, mask=mask), mj
+
+    if tcode == T_LIST_INT32:
+        row_lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
+        total = int(row_lengths.sum())
+        child = _decode_int(codec, stream(K_DATA), total).astype(np.int32)
+        offsets, mask = _list_offsets(row_lengths, validity, n, n_valid)
+        return pa.ListArray.from_arrays(
+            offsets, pa.array(child, pa.int32()), mask=mask), mi + 1
+
+    atype = _arrow_type(tcode)
+    if tcode in _INT_TYPES:
+        vals = _decode_int(codec, stream(K_DATA), n_valid)
+        arr = _respace_primitive(vals, validity, n, atype)
+    elif tcode == T_INT8:
+        vals = byte_rle_decode(stream(K_DATA), n_valid).view(np.int8)
+        arr = _respace_primitive(vals.astype(np.int64), validity, n, atype)
+    elif tcode in (T_FLOAT32, T_FLOAT64):
+        dt = np.float32 if tcode == T_FLOAT32 else np.float64
+        vals = float_decode(stream(K_DATA), n_valid, dt)
+        arr = _respace_float(vals, validity, n, atype)
+    elif tcode == T_BOOL:
+        vals = boolean_decode(stream(K_DATA), n_valid)
+        arr = _respace_primitive(vals.astype(np.int64), validity, n, atype)
+    elif tcode in (T_STRING, T_BINARY):
+        arr = _decode_string(codec, aux, stream, n_valid, validity, n, atype)
+    else:
+        raise TypeError(f"unsupported type code {tcode}")
+    return arr, mi + 1
+
 
 def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
     """Decode a stripe; `columns` projects (unprojected streams are never
@@ -404,71 +559,28 @@ def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
         pos += 1
         ln, pos = read_varint(buf, pos)
         dir_entries.append((ci, kind, ln))
-    # stream offsets
     offset = pos
     stream_loc: dict[tuple[int, int], tuple[int, int]] = {}
     for ci, kind, ln in dir_entries:
         stream_loc[(ci, kind)] = (offset, ln)
         offset += ln
 
+    def stream_for(ci: int, kind: int):
+        off, ln = stream_loc[(ci, kind)]
+        return buf[off : off + ln]
+
     want = set(columns) if columns is not None else None
     out_arrays = []
     out_fields = []
-    for ci, (name, tcode, has_present, codec, aux) in enumerate(metas):
+    mi = 0
+    while mi < len(metas):
+        name = metas[mi][0]
         if want is not None and name not in want:
+            mi += _subtree_size(metas, mi)
             continue
-
-        def stream(kind: int) -> memoryview:
-            off, ln = stream_loc[(ci, kind)]
-            return buf[off : off + ln]
-
-        if has_present:
-            validity = boolean_decode(stream(K_PRESENT), n_rows)
-            n_valid = int(validity.sum())
-        else:
-            validity = None
-            n_valid = n_rows
-
-        atype = _arrow_type(tcode)
-        if tcode in _INT_TYPES:
-            vals = _decode_int(codec, stream(K_DATA), n_valid)
-            arr = _respace_primitive(vals, validity, n_rows, atype)
-        elif tcode == T_INT8:
-            vals = byte_rle_decode(stream(K_DATA), n_valid).view(np.int8)
-            arr = _respace_primitive(vals.astype(np.int64), validity, n_rows, atype)
-        elif tcode in (T_FLOAT32, T_FLOAT64):
-            dt = np.float32 if tcode == T_FLOAT32 else np.float64
-            vals = float_decode(stream(K_DATA), n_valid, dt)
-            arr = _respace_float(vals, validity, n_rows, atype)
-        elif tcode == T_BOOL:
-            vals = boolean_decode(stream(K_DATA), n_valid)
-            arr = _respace_primitive(vals.astype(np.int64), validity, n_rows, atype)
-        elif tcode in (T_STRING, T_BINARY):
-            arr = _decode_string(codec, aux, stream, n_valid, validity, n_rows, atype)
-        elif tcode == T_LIST_INT32:
-            row_lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
-            total = int(row_lengths.sum())
-            child = _decode_int(codec, stream(K_DATA), total).astype(np.int32)
-            offsets_valid = np.zeros(n_valid + 1, dtype=np.int64)
-            np.cumsum(row_lengths, out=offsets_valid[1:])
-            if validity is None:
-                offsets = offsets_valid.astype(np.int32)
-                arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                               pa.array(child, pa.int32()))
-            else:
-                # re-space offsets: null rows repeat the previous offset
-                offsets = np.zeros(n_rows + 1, dtype=np.int64)
-                idx = np.cumsum(validity)  # for each row, count of valid rows so far
-                offsets[1:] = offsets_valid[idx]
-                arr = pa.ListArray.from_arrays(
-                    pa.array(offsets.astype(np.int32), pa.int32()),
-                    pa.array(child, pa.int32()),
-                    mask=pa.array(~validity),
-                )
-        else:
-            raise TypeError(f"unsupported type code {tcode}")
+        arr, mi = _decode_tree(metas, mi, stream_for, n_rows)
         out_arrays.append(arr)
-        out_fields.append(pa.field(name, atype))
+        out_fields.append(pa.field(name, arr.type))
     return pa.RecordBatch.from_arrays(out_arrays, schema=pa.schema(out_fields))
 
 
