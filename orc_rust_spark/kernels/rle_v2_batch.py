@@ -135,7 +135,19 @@ def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
 
 def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
                         width_bits: int = 64) -> bytes:
-    v = np.ascontiguousarray(values, dtype=I64)
+    # int32-domain fast path: token data is array<int32>; keeping the
+    # gathered values and zigzag arrays 32-bit halves the memory traffic
+    # of classification/emission while every emitted byte stays identical
+    # (zigzag/bit-width/decisions agree for values that fit in 32 bits,
+    # and adjacent int32 deltas can never overflow int64, so the
+    # saturating-diff path is skipped entirely).
+    vin = np.ascontiguousarray(values)
+    if vin.dtype in (np.int32, np.int16, np.int8, np.uint8, np.uint16):
+        v = vin.astype(np.int32, copy=False)
+        narrow = True
+    else:
+        v = vin.astype(I64, copy=False)
+        narrow = False
     n = len(v)
     if n == 0:
         return b""
@@ -158,7 +170,8 @@ def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
         _emit_runs(v, run_sids, np.array(run_a, dtype=np.int64),
                    np.array(run_ln, dtype=np.int64), parts, signed)
     if lit_sids:
-        _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits)
+        _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
+                               narrow)
     return b"".join(parts)  # type: ignore[arg-type]
 
 
@@ -166,7 +179,7 @@ def _emit_runs(v, run_sids, r_a, r_ln, parts, signed) -> None:
     """Vectorized short-repeat / fixed-delta emission for identical-value
     runs, grouped by value byte width (SR, `short_repeat.rs:65-81`) and
     base varint length (FD, `delta.rs:146-159`)."""
-    vals = v[r_a]
+    vals = v[r_a].astype(I64, copy=False)
     zz = zigzag_encode(vals) if signed else vals.astype(U64)
     bu = bits_used(zz)
     sr = r_ln <= SHORT_REPEAT_MAX_LENGTH
@@ -218,7 +231,8 @@ def _per_len(counts: np.ndarray, percentile: float) -> np.ndarray:
     return (frac * counts.astype(np.float32)).astype(np.int64)
 
 
-def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits) -> None:
+def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
+                           narrow=False) -> None:
     la = np.array([segs[i][1] for i in lit_sids], dtype=np.int64)
     ll = np.array([segs[i][2] for i in lit_sids], dtype=np.int64)
     K = len(la)
@@ -229,22 +243,32 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits) -> None
     seg_of = np.repeat(np.arange(K, dtype=np.int64), ll)
     idx = np.arange(total, dtype=np.int64) - np.repeat(bnd, ll) + np.repeat(la, ll)
     g = v[idx]
-    zzg = zigzag_encode(g) if signed else g.astype(U64)
+    if narrow:
+        # zigzag in the u32 domain == low 32 bits of the u64 zigzag for
+        # values that fit int32; bit widths and packing agree exactly
+        zzg = ((g.astype(np.uint32) << np.uint32(1))
+               ^ (g >> np.int32(31)).astype(np.uint32)) if signed             else g.astype(np.uint32)
+    else:
+        zzg = zigzag_encode(g) if signed else g.astype(U64)
 
-    vmin = np.minimum.reduceat(g, bnd)
-    vmax = np.maximum.reduceat(g, bnd)
-    zmax = np.maximum.reduceat(zzg, bnd)
+    vmin = np.minimum.reduceat(g, bnd).astype(I64)
+    vmax = np.maximum.reduceat(g, bnd).astype(I64)
+    zmax = np.maximum.reduceat(zzg, bnd).astype(U64)
 
     # saturating adjacent deltas, padded to length `total`; positions that
     # cross a segment boundary (and the final pad) are neutralized
     d = np.zeros(total, dtype=I64)
     if total > 1:
-        raw = g[1:] - g[:-1]  # wrapping
-        l1, l0 = g[1:], g[:-1]
-        pos_ovf = (l1 >= 0) & (l0 < 0) & (raw < 0)
-        neg_ovf = (l1 < 0) & (l0 >= 0) & (raw > 0)
-        raw = np.where(pos_ovf, I64_MAX, raw)
-        raw = np.where(neg_ovf, I64_MIN, raw)
+        if narrow:
+            # int32 adjacent deltas always fit int64: no saturation
+            raw = g[1:].astype(I64) - g[:-1]
+        else:
+            raw = g[1:] - g[:-1]  # wrapping
+            l1, l0 = g[1:], g[:-1]
+            pos_ovf = (l1 >= 0) & (l0 < 0) & (raw < 0)
+            neg_ovf = (l1 < 0) & (l0 >= 0) & (raw > 0)
+            raw = np.where(pos_ovf, I64_MAX, raw)
+            raw = np.where(neg_ovf, I64_MIN, raw)
         d[:-1] = raw
     cross = np.concatenate((bnd[1:], np.array([total], dtype=np.int64))) - 1
 
@@ -294,7 +318,8 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits) -> None
     is_patched = np.empty(0, dtype=bool)
     if pc.any():
         pmask = pc[seg_of]
-        brl_vals = g[pmask] - vmin[seg_of[pmask]]  # fits i64 (no overflow)
+        # i64 domain for base reduction: int32 ranges can span > 2^31
+        brl_vals = g[pmask].astype(I64) - vmin[seg_of[pmask]]
         pseg = seg_of[pmask]
         # remap candidate segment ids to 0..P-1 for a compact histogram
         psel = np.nonzero(pc)[0]

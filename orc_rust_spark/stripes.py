@@ -156,8 +156,12 @@ def encode_int_auto(values: np.ndarray, candidates: tuple[int, ...] = (C_RLEV2, 
     `src/writer/stripe.rs:178-180`) is always a candidate, so the chosen
     size is <= the reference's compressed size by construction.
     Ties break by candidate order (deterministic resume requirement).
+    Narrow dtypes (int32 token streams) pass through untouched so the
+    RLEv2 batch encoder's 32-bit fast path engages.
     """
-    v = np.ascontiguousarray(values, dtype=np.int64)
+    v = np.ascontiguousarray(values)
+    if v.dtype not in (np.int64, np.int32, np.int16):
+        v = v.astype(np.int64)
     best_codec, best = None, None
     for c in candidates:
         if c == C_RLEV2:
@@ -318,7 +322,7 @@ def _encode_column(name, arr, plan, metas, streams_out) -> None:
         elif tcode == T_DATE32:
             vals = valid_arr.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
         else:
-            vals = valid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = valid_arr.to_numpy(zero_copy_only=False)
         cand = plan.candidates()
         codec, data = encode_int_auto(vals) if cand is None \
             else encode_int_auto(vals, cand)
@@ -344,7 +348,7 @@ def _encode_column(name, arr, plan, metas, streams_out) -> None:
         flat = lv.flatten()
         row_lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
         streams[K_LENGTH] = rle_v2_encode(row_lengths, signed=False)
-        child = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        child = flat.to_numpy(zero_copy_only=False)
         cand = plan.candidates()
         codec, data = encode_int_auto(child) if cand is None \
             else encode_int_auto(child, cand)

@@ -145,3 +145,19 @@ def test_weighted_repartition_balances_token_mass(spark):
             .orderBy("lo").collect())
     for a, b in zip(rows, rows[1:]):
         assert a.hi < b.lo
+
+
+def test_manifest_scan_prunes_blob_column(spark, token_df, tmp_path_factory):
+    """Catalyst column pruning must reach the parquet scan: reading the
+    manifest never fetches stripe blob bytes (the projected-streams
+    analog, `src/stripe.rs:154-165`)."""
+    out = str(tmp_path_factory.mktemp("stripes"))
+    encode_corpus(token_df, out, stripe_tokens=1 << 16, partitions=4)
+    plan = read_manifest(spark, out)._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert all("blob" not in ln for ln in scan_lines), plan
+    # and a manifest-range filter is pushed down to the scan
+    filtered = read_manifest(spark, out).filter(F.col("doc_id_max") >= "x")
+    plan2 = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan2 and "doc_id_max" in plan2, plan2
