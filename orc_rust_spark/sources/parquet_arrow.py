@@ -44,7 +44,7 @@ def list_fragments(path: str | list[str],
 def read_parquet_arrow(spark: SparkSession, path: str,
                        columns: list[str] | None = None,
                        row_groups_per_task: int = 1,
-                       tasks_per_slot: int = 2) -> DataFrame:
+                       tasks_per_slot: int = 4) -> DataFrame:
     """Distributed pyarrow scan returning a DataFrame; each Spark task
     reads whole row groups (the stripe analog) straight into Arrow."""
     tasks = list_fragments(path, row_groups_per_task)
@@ -82,7 +82,7 @@ def scan_encode_parquet(spark: SparkSession, path: str,
                         stripe_tokens: int = 1 << 21,
                         plans=None, block_compression: int = 0,
                         row_groups_per_task: int = 1,
-                        tasks_per_slot: int = 2) -> DataFrame:
+                        tasks_per_slot: int = 4) -> DataFrame:
     """Fused scan+encode: each task reads its parquet row groups with
     pyarrow and encodes stripes in the same Python process — one Python
     stage, zero JVM row-format round-trips for the token arrays."""
