@@ -89,14 +89,16 @@ def _codecs_of(blob: bytes) -> str:
     _, pos = read_varint(buf, pos)
     n_cols, pos = read_varint(buf, pos)
     codecs = {}
-    for _ in range(n_cols):
+    for i in range(n_cols):
         ln, pos = read_varint(buf, pos)
         name = bytes(buf[pos : pos + ln]).decode()
         pos += ln
         codec = buf[pos + 2]
         pos += 3
         _, pos = read_varint(buf, pos)
-        codecs[name] = CODEC_NAMES.get(codec, str(codec))
+        # nested children may share names ("item"); qualify duplicates
+        key = name if name not in codecs else f"{name}#{i}"
+        codecs[key] = CODEC_NAMES.get(codec, str(codec))
     return json.dumps(codecs, sort_keys=True)
 
 

@@ -357,6 +357,10 @@ _TS_COLS = {"lineitem": ["l_shipdate"], "orders": ["o_orderdate"], "events": ["t
 
 def _roundtrip_table(name: str, stripe_rows: int = 16384):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # unix_micros(cast(ntz as timestamp)) is session-timezone-
+        # dependent; pin UTC so it matches DuckDB's epoch_us regardless
+        # of the calling session's default
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = load(spark, sf_dir, name)
         rt = roundtrip_relation(df, stripe_rows=stripe_rows)
         for c in _TS_COLS.get(name, []):

@@ -161,3 +161,23 @@ def test_manifest_scan_prunes_blob_column(spark, token_df, tmp_path_factory):
     filtered = read_manifest(spark, out).filter(F.col("doc_id_max") >= "x")
     plan2 = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan2 and "doc_id_max" in plan2, plan2
+
+
+def test_resume_after_partial_wave(spark, token_df, tmp_path_factory):
+    """A wave dir without _SUCCESS (killed mid-write) is re-run and
+    overwritten; committed waves are untouched."""
+    import pathlib
+    out = str(tmp_path_factory.mktemp("stripes"))
+    encode_corpus(token_df, out, stripe_tokens=1 << 16, waves=2, partitions=4)
+    committed = read_manifest(spark, out).toPandas().sort_values("stripe_id")
+    # simulate a crash mid-wave: partial files, no _SUCCESS marker
+    w1 = pathlib.Path(out) / "wave=1"
+    shutil.rmtree(w1)
+    w1.mkdir()
+    (w1 / "part-garbage.parquet.tmp").write_bytes(b"partial")
+    resumed = encode_corpus(token_df, out, stripe_tokens=1 << 16, waves=2,
+                            partitions=4)
+    assert resumed["waves_skipped"] == 1
+    assert resumed["waves_run"] == 1
+    after = read_manifest(spark, out).toPandas().sort_values("stripe_id")
+    assert committed.checksum.tolist() == after.checksum.tolist()
