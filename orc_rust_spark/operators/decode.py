@@ -32,8 +32,14 @@ _SPARK_TYPES = {
 def _spark_type(t: pa.DataType) -> T.DataType:
     if t in _SPARK_TYPES:
         return _SPARK_TYPES[t]
-    if pa.types.is_list(t):
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
         return T.ArrayType(_spark_type(t.value_type))
+    if pa.types.is_map(t):
+        return T.MapType(_spark_type(t.key_type), _spark_type(t.item_type))
+    if pa.types.is_struct(t):
+        return T.StructType([
+            T.StructField(t.field(i).name, _spark_type(t.field(i).type), True)
+            for i in range(t.num_fields)])
     raise TypeError(f"no Spark type for {t}")
 
 

@@ -69,3 +69,27 @@ def test_projection_skips_nested_subtree():
     rb = decode_stripe(encode_stripe(batch), columns=["t"])
     assert rb.schema.names == ["t"]
     assert rb.column("t").to_pylist() == ["keep"]
+
+
+def test_spark_relation_roundtrip_struct_and_map(spark):
+    import pyspark.sql.types as T
+    from orc_rust_spark.operators.relation import roundtrip_relation
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType())])),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("v", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(1, (7, "x"), {"k": 1}, [1.5, 2.5]),
+            (2, None, None, None),
+            (3, (None, "z"), {"a": 2, "b": None}, [])]
+    df = spark.createDataFrame(rows, schema)
+    rt = roundtrip_relation(df, stripe_rows=2)
+
+    def norm(r):
+        return (r.id, tuple(r.s) if r.s is not None else None,
+                tuple(sorted(r.m.items())) if r.m is not None else None,
+                tuple(r.v) if r.v is not None else None)
+    assert sorted(map(norm, rt.collect())) == sorted(map(norm, df.collect()))
