@@ -49,7 +49,8 @@ def _compress_one(kind: int, block: bytes) -> bytes:
     raise ValueError(f"unsupported compression kind {kind}")
 
 
-def _decompress_one(kind: int, block: bytes) -> bytes:
+def _decompress_one(kind: int, block: bytes,
+                    max_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
     if kind == K_ZLIB:
         return zlib.decompress(block, -zlib.MAX_WBITS)
     if kind == K_ZSTD and _zstd is not None:
@@ -57,7 +58,10 @@ def _decompress_one(kind: int, block: bytes) -> bytes:
     if kind == K_SNAPPY and _snappy is not None:
         return _snappy.decompress(block)
     if kind == K_LZ4 and _lz4 is not None:
-        raise ValueError("lz4 raw block needs original size; not supported")
+        # raw lz4 blocks don't carry their size; ORC chunk bodies are
+        # bounded by the writer's block size, which the decompressor
+        # takes as the allocation hint
+        return _lz4.decompress(block, uncompressed_size=max_size)
     raise ValueError(f"unsupported compression kind {kind}")
 
 

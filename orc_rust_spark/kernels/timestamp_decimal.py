@@ -100,5 +100,9 @@ def decimal_decode(data_stream, secondary_stream, n: int,
         if d >= 0:
             out.append(m * 10 ** d)
         else:
-            out.append(m // 10 ** (-d))
+            # i128-style truncation toward zero (`src/array_decoder/
+            # decimal.rs` fix_i128_scale), not Python floor division:
+            # -15 downscaled by 1 is -1, not -2
+            q = abs(m) // 10 ** (-d)
+            out.append(-q if m < 0 else q)
     return out

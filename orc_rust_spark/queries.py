@@ -391,8 +391,28 @@ _ROUNDTRIP_COLS = {
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
     "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
     "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
-    "embeddings": ["vec_id", "embedding", "label"],
 }
+
+
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-list + float32 decode parity.  The raw `array<float>`
+    column defeats the driver's canonicalizer (lists are unhashable), so
+    the list is exploded to (vec_id, label, pos, value) scalars; float32
+    -> float64 widening is exact, so a bit-exact decode stays hash-equal
+    to the DuckDB oracle on the source parquet."""
+    emb = load(spark, sf_dir, "embeddings")
+    rt = roundtrip_relation(emb, stripe_rows=16384)
+    return (rt.select("vec_id", "label",
+                      F.posexplode("embedding").alias("pos", "v"))
+            .select("vec_id", "label", F.col("pos").cast("int").alias("pos"),
+                    F.col("v").cast("double").alias("value")))
+
+
+_EMBEDDINGS_ORACLE = (
+    "SELECT vec_id, label, CAST(gs - 1 AS INT) AS pos, "
+    "CAST(embedding[gs] AS DOUBLE) AS value FROM embeddings, "
+    "LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS gs)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -465,23 +485,34 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_payloads, sample_frames
     docs = load(spark, sf_dir, "documents")
     frames = sample_frames(attach_payloads(docs), frame_bytes=64, every_k=4)
-    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+    return frames.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
+# byte-based, not character-based: the Spark side slices the UTF-8
+# payload bytes, so frame boundaries must be byte-accurate even for
+# non-ASCII text.  DuckDB 1.0 can neither slice nor md5 a BLOB, so the
+# frame content is compared as hex — a byte slice of the payload is a
+# 2x-char slice of to_hex(payload)
 _FRAME_ORACLE = (
+    "WITH b AS (SELECT doc_id, to_hex(encode(text)) AS hx, "
+    "octet_length(encode(text)) AS nb FROM documents) "
     "SELECT doc_id, CAST(fi AS INT) AS frame_idx, "
-    "md5(substr(text, fi * 64 + 1, 64)) AS frame_md5 "
-    "FROM documents, LATERAL (SELECT unnest(generate_series(0, "
-    "greatest(length(text) // 64, 1) - 1, 4)) AS fi)"
+    "substring(hx, fi * 128 + 1, 128) AS frame_hex "
+    "FROM b, LATERAL (SELECT unnest(generate_series(0, "
+    "greatest(nb // 64, 1) - 1, 4)) AS fi)"
 )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: LSH bucket join + exact re-rank (rows-only check;
-    recall vs the exact baseline is asserted in tests)."""
+    """Scale-path ANN: LSH bucket join + exact re-rank.  Gate params
+    (48 tables x 3 hyperplanes, OR-amplified) give recall 1.0 at every
+    gate scale (verified vs `cosine_topk` at sf0.001/0.01/0.1), so the
+    exact brute-force SQL IS the oracle — an approximate operator gated
+    by an exact ground truth."""
     from .operators.similarity import ann_lsh_topk
     emb = load(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                        n_tables=48, n_planes=3)
 
 
 # ---------------------------------------------------------------------------
@@ -499,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _ROUNDTRIP_COLS:
         q[f"roundtrip_{name}"] = _roundtrip_table(name)
+    q["roundtrip_embeddings"] = q_roundtrip_embeddings
     q["roundtrip_tokens"] = q_roundtrip_tokens
     q["tokens_projection"] = q_tokens_projection
     q["decode_pruned"] = q_decode_pruned
@@ -524,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for name, cols in _ROUNDTRIP_COLS.items():
         o[f"roundtrip_{name}"] = _roundtrip_oracle(name, cols)
+    o["roundtrip_embeddings"] = _EMBEDDINGS_ORACLE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
     o["tokens_projection"] = \
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents"
@@ -540,7 +573,9 @@ def oracle_sql() -> dict[str, str]:
     o["jaccard_pairs"] = sql_jaccard_pairs(False)
     o["simhash"] = sql_simhash(False)
     o["embedding_topk"] = sql_embedding_topk(False)
-    # ann_lsh_topk: intentionally no oracle (approximate; rows-only check)
+    # ANN gate params are chosen for recall 1.0 (see q_ann_lsh_topk), so
+    # the exact cosine top-k is a valid value-level oracle
+    o["ann_lsh_topk"] = sql_embedding_topk(False)
     o["multimodal_features"] = _MULTIMODAL_ORACLE
     o["frame_sample"] = _FRAME_ORACLE
     o["events_json"] = sql_events_json(False)

@@ -111,10 +111,32 @@ def test_decimal_decode():
         write_varint_zigzagged(data, m, True)
     sec = rle_v2_encode(np.array(scales), signed=True)
     out = decimal_decode(bytes(data), sec, len(mantissas), target_scale=2)
-    #  rescale semantics: value * 10^(target-scale)
-    exp = [m * 10 ** (2 - s) if s <= 2 else m // 10 ** (s - 2)
+    # rescale semantics: value * 10^(target-scale); downscale truncates
+    # toward zero like i128 division (decimal.rs fix_i128_scale)
+    def trunc_div(m, p):
+        q = abs(m) // p
+        return -q if m < 0 else q
+    exp = [m * 10 ** (2 - s) if s <= 2 else trunc_div(m, 10 ** (s - 2))
            for m, s in zip(mantissas, scales)]
     assert out == exp
+
+
+def test_decimal_decode_negative_downscale():
+    """Negative mantissas with varying_scale > target_scale must
+    truncate toward zero: -15 at scale diff 1 decodes to -1 (the
+    reference's i128 division), not floor's -2."""
+    from orc_rust_spark.kernels.rle_v2 import rle_v2_encode
+    from orc_rust_spark.kernels.timestamp_decimal import decimal_decode
+    from orc_rust_spark.kernels.util import write_varint_zigzagged
+    import numpy as np
+    mantissas = [-15, -19, -10, -99999999999, 15]
+    scales = [3, 3, 3, 5, 3]
+    data = bytearray()
+    for m in mantissas:
+        write_varint_zigzagged(data, m, True)
+    sec = rle_v2_encode(np.array(scales), signed=True)
+    out = decimal_decode(bytes(data), sec, len(mantissas), target_scale=2)
+    assert out == [-1, -1, -1, -99999999, 1]
 
 
 def test_sliced_batch_string_encode():
