@@ -31,7 +31,12 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "60000"))
+# 240k docs ~= 200M tokens ~= 0.8 GB of int32 payload: large enough that
+# the ~1s fixed cost of scheduling a 128-task Python stage is <10% of
+# the measured wall, so the GB/s figures reflect steady-state kernel
+# throughput (the quantity that matters at 100 TB), not Spark's stage
+# floor.  Corpus is synthesized once and cached in /tmp across runs.
+N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "240000"))
 CODEC_ONLY = os.environ.get("SPARK_GRAFT_CODEC_ONLY") == "1"
 CORPUS_DIR = os.environ.get(
     "SPARK_GRAFT_CORPUS_DIR", f"/tmp/tokencoder_corpus_{N_SYNTH_DOCS}")
@@ -53,7 +58,6 @@ def main() -> None:
 
     from orc_rust_spark.functions.tokens import TOKEN_SCHEMA, synthesize_tokens
     from orc_rust_spark.operators.decode import decode_pass
-    from orc_rust_spark.operators.encode import encode_pass
     from orc_rust_spark.sources.parquet_arrow import scan_encode_parquet
     from orc_rust_spark import queries as reg
 
@@ -64,10 +68,17 @@ def main() -> None:
         synthesize_tokens(spark, N_SYNTH_DOCS, seed=42, partitions=128) \
             .write.mode("overwrite").parquet(CORPUS_DIR)
 
-    # warm the reused Python workers (imports, allocator pages) so
-    # timings measure steady-state throughput, not process spawn
-    warm = synthesize_tokens(spark, 2 * CPUS, seed=7, partitions=CPUS)
-    decode_pass(encode_pass(warm, stripe_tokens=1 << 18), TOKEN_SCHEMA).count()
+    # warm the reused Python workers with a FULL pass over the corpus:
+    # a worker's first real encode costs 5-10x CPU (imports, allocator
+    # arena growth, first-touch page faults on the ~100 MB of numpy
+    # temporaries), so warming with tiny data leaves the first timed rep
+    # measuring worker cold-start, not codec throughput.  This also
+    # brings the corpus into page cache, which a 100-TB steady-state
+    # scan would equivalently get from overlapping I/O.
+    warm_stripes = scan_encode_parquet(spark, CORPUS_DIR,
+                                       stripe_tokens=1 << 21).persist()
+    decode_pass(warm_stripes, TOKEN_SCHEMA).count()
+    warm_stripes.unpersist()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

@@ -44,14 +44,13 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
          .config("spark.driver.memory", "8g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-from orc_rust_spark.functions.tokens import TOKEN_SCHEMA, synthesize_tokens
-from orc_rust_spark.operators.encode import encode_pass
-from orc_rust_spark.operators.decode import decode_pass
 from orc_rust_spark.sources.parquet_arrow import scan_encode_parquet
 files = sorted(glob.glob(os.path.join({corpus!r}, "*.parquet")))[idx::n_execs]
-warm = synthesize_tokens(spark, 2 * cores, seed=7, partitions=cores)
-decode_pass(encode_pass(warm, stripe_tokens=1 << 18), TOKEN_SCHEMA).count()
-scan_encode_parquet(spark, files[:2], stripe_tokens=1 << 21) \
+# full-pass warmup: a Python worker's first real encode costs 5-10x CPU
+# (allocator arena growth + first-touch faults on ~100 MB of numpy
+# temporaries), so every worker must see a real-sized stripe before the
+# timed window or the measurement includes cold-start, not throughput
+scan_encode_parquet(spark, files, stripe_tokens=1 << 21) \
     .agg(F.sum("output_bytes")).collect()
 open(ready, "w").write("1")
 while not os.path.exists(go):
