@@ -114,31 +114,86 @@ def synthesize_tokens(spark: SparkSession, n_docs: int, seed: int = 42,
     return plan.mapInArrow(gen, TOKEN_SCHEMA)
 
 
-def _hash_tokenize_batch(texts: pa.Array) -> pa.Array:
-    """Stable word-hash tokenizer over an Arrow string column."""
-    out = []
-    for t in texts.to_pylist():
-        if t is None:
-            out.append([])
-            continue
-        words = t.split()
-        ids = np.fromiter(
-            ((hash_word(w)) for w in words), dtype=np.int32, count=len(words))
-        out.append(ids)
-    return pa.array([o.tolist() if hasattr(o, "tolist") else o for o in out],
-                    pa.list_(pa.int32()))
-
-
 _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
 
 
 def hash_word(w: str) -> int:
-    """FNV-1a 64 truncated into [0, VOCAB) — stable across runs/processes."""
+    """FNV-1a 64 truncated into [0, VOCAB) — stable across runs/processes.
+    Scalar reference; the batch path below is the vectorized equivalent."""
     h = _FNV_OFFSET
     for b in w.encode():
         h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
     return int(h % VOCAB)
+
+
+def _fnv1a_words(data: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over variable-length byte slices: iterate
+    byte POSITIONS (bounded by the longest word), updating every
+    still-alive word's hash per step — O(total word bytes) numpy work
+    with no per-word Python.  uint64 multiply wraps, matching the
+    scalar's explicit & mask."""
+    n = len(starts)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    prime = np.uint64(_FNV_PRIME)
+    max_len = int(lens.max()) if n else 0
+    order = np.argsort(lens, kind="stable")
+    # process in descending-length order so the alive set is a prefix:
+    # each step is a contiguous slice, not a masked gather
+    order = order[::-1]
+    s_sorted = starts[order]
+    l_sorted = lens[order]
+    h_sorted = h.copy()
+    # alive_count[j] = how many words have length > j
+    for j in range(max_len):
+        alive = int(np.searchsorted(-l_sorted, -(j + 1), side="right"))
+        if alive == 0:
+            break
+        b = data[s_sorted[:alive] + j].astype(np.uint64)
+        h_sorted[:alive] = (h_sorted[:alive] ^ b) * prime
+    h[order] = h_sorted
+    return h
+
+
+def _hash_tokenize_batch(texts: pa.Array) -> pa.Array:
+    """Stable word-hash tokenizer over an Arrow string column —
+    fully vectorized (Arrow whitespace split + numpy FNV-1a), output
+    identical to ``[hash_word(w) for w in t.split()]`` per row."""
+    import pyarrow.compute as pc
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.utf8_split_whitespace(texts)
+    n_rows = len(lst)
+    word_counts = pc.list_value_length(lst).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    words = lst.flatten()
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    nw = len(words)
+    if nw == 0:
+        offs = np.zeros(n_rows + 1, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                        pa.array([], pa.int32()))
+    wb = words.cast(pa.large_utf8())
+    raw_offsets = np.frombuffer(wb.buffers()[1], dtype=np.int64)
+    offsets = raw_offsets[wb.offset: wb.offset + nw + 1]
+    data = np.frombuffer(wb.buffers()[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    ids64 = _fnv1a_words(data, starts, lens) % np.uint64(VOCAB)
+    # Arrow's split keeps empty strings at text edges; Python's split()
+    # drops them — filter length-0 words and recount per row
+    keep = lens > 0
+    row_of_word = np.repeat(np.arange(n_rows, dtype=np.int64), word_counts)
+    kept_counts = np.bincount(row_of_word[keep], minlength=n_rows)
+    offs = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=offs[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()),
+        pa.array(ids64[keep].astype(np.int32), pa.int32()))
 
 
 def tokens_from_documents(docs: DataFrame) -> DataFrame:

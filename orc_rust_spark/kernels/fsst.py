@@ -17,8 +17,8 @@ Implementation notes:
   frequencies, keep the 254 highest-gain (count * length) candidates.
 - Encoding computes the longest symbol match at EVERY byte position
   vectorized (per length 8..1, u64 prefix lookup via np.searchsorted on
-  the sorted symbol keys), then walks the greedy parse over Python lists
-  (~20 MB/s; the heavy lifting is in numpy).
+  the sorted symbol keys), then enumerates the greedy parse chain with
+  jump-pointer composition (see `_parse`) — no per-code Python loop.
 - Decoding is fully vectorized: code -> (length, bytes) table expansion
   via np.repeat over a (n_symbols, 8) byte matrix.
 """
@@ -109,26 +109,60 @@ class SymbolTable:
         return cls(syms), pos
 
 
-def _parse(data: np.ndarray, table: SymbolTable) -> tuple[list[int], int]:
-    """Greedy left-to-right parse; returns (codes incl. escapes+literals,
-    n_codes counting escape pairs as two bytes of output)."""
+def _parse(data: np.ndarray, table: SymbolTable) -> np.ndarray:
+    """Greedy left-to-right parse, fully vectorized.
+
+    The greedy parse is a walk of the functional graph
+    ``i -> i + max(match_len(i), 1)``; every jump target is computed for
+    every position by ``match_tables`` up front, so the visited chain
+    can be enumerated without a per-code Python loop:
+
+    1. compose the jump array with itself 10 times -> J jumps 1024
+       codes at once; walk J from 0 for the ~V/1024 block starts
+       (a tiny scalar loop),
+    2. expand all blocks in lockstep: 1024 numpy gathers, each over
+       #blocks positions (total work = V gathers, vectorized),
+    3. emit codes/escapes for the visited positions with masked
+       scatters.
+
+    Byte-identical to the sequential greedy parse; ~50x faster."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
     mlen, mcode = table.match_tables(data)
-    ml = mlen.tolist()
-    mc = mcode.tolist()
-    raw = data.tolist()
-    out: list[int] = []
-    i = 0
-    n = len(ml)
-    while i < n:
-        ln = ml[i]
-        if ln:
-            out.append(mc[i])
-            i += ln
-        else:
-            out.append(ESCAPE)
-            out.append(raw[i])
-            i += 1
-    return out, len(out)
+    step = np.maximum(mlen, 1)
+    nxt = np.arange(n, dtype=np.int64) + step
+    np.minimum(nxt, n, out=nxt)
+    nxt_ext = np.concatenate((nxt, np.array([n], dtype=np.int64)))
+
+    BLOCK = 1024
+    J = nxt_ext
+    for _ in range(10):  # 2^10 = BLOCK codes per jump
+        J = J[J]
+    starts = [0]
+    b = int(J[0])
+    while b < n:
+        starts.append(b)
+        b = int(J[b])
+    S = np.array(starts, dtype=np.int64)
+    P = np.empty((BLOCK, len(S)), dtype=np.int64)
+    P[0] = S
+    for s in range(1, BLOCK):
+        P[s] = nxt_ext[P[s - 1]]
+    chain = P.T.ravel()
+    chain = chain[chain < n]  # sentinel-clipped tail of the last block
+
+    ml = mlen[chain]
+    esc = ml == 0
+    out_sz = np.where(esc, 2, 1)
+    offs = np.zeros(len(chain) + 1, dtype=np.int64)
+    np.cumsum(out_sz, out=offs[1:])
+    out = np.empty(int(offs[-1]), dtype=np.uint8)
+    pos0 = offs[:-1]
+    out[pos0[~esc]] = mcode[chain[~esc]]
+    out[pos0[esc]] = ESCAPE
+    out[pos0[esc] + 1] = data[chain[esc]]
+    return out
 
 
 def train(data: np.ndarray, iterations: int = 4,
@@ -169,11 +203,11 @@ def train(data: np.ndarray, iterations: int = 4,
 def fsst_compress(blob: bytes, iterations: int = 4) -> bytes:
     data = np.frombuffer(blob, dtype=np.uint8)
     table = train(data, iterations)
-    codes, n_codes = _parse(data, table)
+    codes = _parse(data, table)
     out = bytearray()
     out += table.to_bytes()
     write_varint(out, len(codes))
-    out += bytes(codes)
+    out += codes.tobytes()
     return bytes(out)
 
 
