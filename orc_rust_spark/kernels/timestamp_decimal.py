@@ -83,6 +83,21 @@ def timestamp_encode(nanos_since_epoch: np.ndarray,
             rle_v2_encode(raw, signed=False))
 
 
+def decimal_encode(mantissas, scale: int) -> tuple[bytes, bytes]:
+    """Inverse of `decimal_decode` for a fixed-scale column: DATA =
+    unbounded zigzag varints of the mantissas, SECONDARY = RLEv2 of the
+    (constant) scale — the stream layout `src/encoding/decimal.rs:28-52`
+    reads.  The reference writer emits no decimals; this exists so
+    decimal columns are first-class in our stripe sink."""
+    from .rle_v2 import rle_v2_encode
+    from .util import write_varint_zigzagged
+    out = bytearray()
+    for m in mantissas:
+        write_varint_zigzagged(out, int(m), True)
+    sec = rle_v2_encode(np.full(len(mantissas), scale, dtype=I64), signed=True)
+    return bytes(out), sec
+
+
 def decimal_decode(data_stream, secondary_stream, n: int,
                    target_scale: int) -> list[int]:
     """Decode varint mantissas + per-value scales, rescaled to

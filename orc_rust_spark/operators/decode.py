@@ -40,6 +40,8 @@ def _spark_type(t: pa.DataType) -> T.DataType:
         return T.StructType([
             T.StructField(t.field(i).name, _spark_type(t.field(i).type), True)
             for i in range(t.num_fields)])
+    if pa.types.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
     raise TypeError(f"no Spark type for {t}")
 
 

@@ -81,9 +81,17 @@ def _stripe_row(tbl: pa.Table, part_id: int, seq: int,
 
 
 def _codecs_of(blob: bytes) -> str:
-    # parse our own header for lineage (cheap: header only)
-    from ..stripes import MAGIC
+    # parse our own header for lineage (cheap: header only).  For a
+    # block-compressed stripe, decompress just the first chunk — the
+    # header always fits in one 256 KiB block
+    from ..stripes import MAGIC, MAGIC_COMPRESSED
     from ..kernels.util import read_varint
+    if blob[:4] == MAGIC_COMPRESSED:
+        from ..kernels.compression import _decompress_one
+        kind = blob[4]
+        header = int.from_bytes(blob[5:8], "little")
+        body = blob[8: 8 + (header >> 1)]
+        blob = body if header & 1 else _decompress_one(kind, body)
     buf = memoryview(blob)
     pos = 4
     _, pos = read_varint(buf, pos)

@@ -31,6 +31,7 @@ from .functions.tokens import TOKEN_SCHEMA, tokens_from_documents
 from .operators.encode import encode_pass
 from .operators.decode import decode_pass
 from .operators.relation import roundtrip_relation
+from .stripes import ColumnPlan
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -503,6 +504,106 @@ _FRAME_ORACLE = (
 )
 
 
+def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-RLE (C10, `src/encoding/byte.rs`) oracle coverage: an int8
+    column through the stripe codec (the SF tables have no tinyint, so
+    one is derived — values 1..7 plus a negative band)."""
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_linenumber").cast("tinyint").alias("small"),
+        (F.col("l_linenumber") - F.lit(5)).cast("tinyint").alias("signed"))
+    rt = roundtrip_relation(df, stripe_rows=16384)
+    return rt.select("l_orderkey", "l_linenumber",
+                     F.col("small").cast("int").alias("small"),
+                     F.col("signed").cast("int").alias("signed"))
+
+
+_INT8_ORACLE = (
+    "SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS INT) AS small, "
+    "CAST(l_linenumber - 5 AS INT) AS signed FROM lineitem"
+)
+
+
+def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal codec (C13, `src/encoding/decimal.rs` varint mantissas +
+    RLEv2 scales) oracle coverage.  The decimal is built from exact
+    integers (incl. negatives) so both engines hold identical values;
+    the output is cast to DOUBLE (exact for these magnitudes) for
+    canonicalization."""
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        (F.col("l_partkey") - F.lit(1000)).cast("decimal(12,2)").alias("dec"))
+    rt = roundtrip_relation(df, stripe_rows=16384)
+    return rt.select("l_orderkey", F.col("dec").cast("double").alias("dec"))
+
+
+_DECIMAL_ORACLE = (
+    "SELECT l_orderkey, CAST(CAST(l_partkey - 1000 AS DECIMAL(12,2)) "
+    "AS DOUBLE) AS dec FROM lineitem"
+)
+
+
+def q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct + map assembly oracle coverage (`src/array_decoder/
+    struct_decoder.rs`, `map.rs`): events packed into a nullable struct
+    and a map, round-tripped, then exploded back to scalars."""
+    ev = load(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0,
+               F.struct("event_type", "value")).alias("s"),
+        F.create_map(
+            F.lit("k"),
+            F.get_json_object("props", "$.k").cast("int")).alias("m"))
+    rt = roundtrip_relation(df, stripe_rows=4096)
+    return rt.select(
+        "event_id",
+        F.col("s.event_type").alias("s_event_type"),
+        F.col("s.value").alias("s_value"),
+        F.col("m")[F.lit("k")].alias("m_k"))
+
+
+_NESTED_ORACLE = (
+    "SELECT event_id, "
+    "CASE WHEN event_id % 7 <> 0 THEN event_type END AS s_event_type, "
+    "CASE WHEN event_id % 7 <> 0 THEN value END AS s_value, "
+    "CAST(json_extract_string(props, '$.k') AS INT) AS m_k FROM events"
+)
+
+
+def q_roundtrip_ts2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC two-stream timestamp codec (C14, `src/encoding/timestamp.rs`:
+    seconds-from-2015 + nano trailing-zero trick) oracle coverage: the
+    events.ts column is routed through C_TS2 instead of the µs-int64
+    default."""
+    from .stripes import C_TS2
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    rt = roundtrip_relation(ev, stripe_rows=4096,
+                            plans={"ts": ColumnPlan(codec=C_TS2)})
+    return rt.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+
+
+_TS2_ORACLE = ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
+               "FROM events")
+
+
+def q_roundtrip_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-compression coverage (§2.2, `src/compression.rs` chunked
+    zlib): the token stripes are wrapped in the ORC chunked stream
+    before decode."""
+    from .kernels.compression import K_ZLIB
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    stripes = encode_pass(tok, stripe_tokens=1 << 16, block_compression=K_ZLIB)
+    decoded = decode_pass(stripes, TOKEN_SCHEMA)
+    return decoded.select("doc_id", "n_tok", "source")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: LSH bucket join + exact re-rank.  Gate params
     (48 tables x 3 hyperplanes, OR-amplified) give recall 1.0 at every
@@ -531,6 +632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in _ROUNDTRIP_COLS:
         q[f"roundtrip_{name}"] = _roundtrip_table(name)
     q["roundtrip_embeddings"] = q_roundtrip_embeddings
+    q["roundtrip_int8"] = q_roundtrip_int8
+    q["roundtrip_decimal"] = q_roundtrip_decimal
+    q["roundtrip_nested"] = q_roundtrip_nested
+    q["roundtrip_ts2"] = q_roundtrip_ts2
+    q["roundtrip_compressed"] = q_roundtrip_compressed
     q["roundtrip_tokens"] = q_roundtrip_tokens
     q["tokens_projection"] = q_tokens_projection
     q["decode_pruned"] = q_decode_pruned
@@ -557,6 +663,11 @@ def oracle_sql() -> dict[str, str]:
     for name, cols in _ROUNDTRIP_COLS.items():
         o[f"roundtrip_{name}"] = _roundtrip_oracle(name, cols)
     o["roundtrip_embeddings"] = _EMBEDDINGS_ORACLE
+    o["roundtrip_int8"] = _INT8_ORACLE
+    o["roundtrip_decimal"] = _DECIMAL_ORACLE
+    o["roundtrip_nested"] = _NESTED_ORACLE
+    o["roundtrip_ts2"] = _TS2_ORACLE
+    o["roundtrip_compressed"] = _TOKENS_ORACLE_BASE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
     o["tokens_projection"] = \
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents"

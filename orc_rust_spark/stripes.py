@@ -79,6 +79,7 @@ T_TIMESTAMP_US = 12
 T_STRUCT = 13
 T_MAP = 14
 T_LIST_GEN = 15
+T_DECIMAL128 = 16  # aux = (precision << 8) | scale
 
 # codec codes
 C_RAW = 0
@@ -92,11 +93,14 @@ C_FOR = 8
 C_BITPACK = 9
 C_INT_DICT = 10
 C_FSST = 11
+C_DECIMAL = 12      # varint mantissas + RLEv2 scales (decimal.rs layout)
+C_TS2 = 13          # ORC two-stream timestamp (timestamp.rs layout)
 
 CODEC_NAMES = {
     C_RAW: "raw", C_RLEV2: "rlev2", C_BYTE_RLE: "byte_rle", C_BOOLEAN: "boolean",
     C_FLOAT: "float", C_STRING_DIRECT: "string_direct", C_STRING_DICT: "string_dict",
     C_FOR: "for", C_BITPACK: "bitpack", C_INT_DICT: "int_dict", C_FSST: "fsst",
+    C_DECIMAL: "decimal", C_TS2: "ts_two_stream",
 }
 
 # stream kinds (mirrors proto.rs:192-209 stream kinds we need)
@@ -133,6 +137,8 @@ def _type_code(t: pa.DataType) -> int:
         return T_STRUCT
     if pa.types.is_timestamp(t):
         return T_TIMESTAMP_US
+    if pa.types.is_decimal(t):
+        return T_DECIMAL128
     raise TypeError(f"unsupported column type: {t}")
 
 
@@ -298,6 +304,22 @@ def _combine(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
+def _decimal_mantissas(arr: pa.Array) -> np.ndarray:
+    """int64 mantissas of a decimal128 array (no nulls).  Arrow stores
+    decimal128 as 16-byte little-endian ints; for precision <= 18 the
+    value is the sign-extended low word — validated, not assumed."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    pairs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    lo = pairs[2 * arr.offset: 2 * (arr.offset + n): 2]
+    hi = pairs[2 * arr.offset + 1: 2 * (arr.offset + n) + 1: 2]
+    if not np.array_equal(hi, lo >> np.int64(63)):
+        raise ValueError("decimal mantissas beyond int64 are unsupported "
+                         "(precision > 18)")
+    return lo.copy()
+
+
 def _encode_column(name, arr, plan, metas, streams_out) -> None:
     """Recursive column encoder: appends (meta, streams) entries
     depth-first — nested types (struct/map/list) mirror the reference's
@@ -315,6 +337,31 @@ def _encode_column(name, arr, plan, metas, streams_out) -> None:
         valid_arr = arr
     aux = 0
     codec = C_RAW
+
+    if tcode == T_TIMESTAMP_US and plan.codec == C_TS2:
+        # ORC two-stream layout (seconds-from-2015 + nano trick),
+        # `src/encoding/timestamp.rs:30-197`; exact for µs instants
+        from .kernels.timestamp_decimal import timestamp_encode
+        us = valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        data, sec = timestamp_encode(us * np.int64(1000))
+        codec = C_TS2
+        streams[K_DATA] = data
+        streams[K_SECONDARY] = sec
+        metas.append((name, tcode, has_present, codec, aux))
+        streams_out.append(streams)
+        return
+
+    if tcode == T_DECIMAL128:
+        from .kernels.timestamp_decimal import decimal_encode
+        t = valid_arr.type
+        aux = (t.precision << 8) | t.scale
+        data, sec = decimal_encode(_decimal_mantissas(valid_arr), t.scale)
+        codec = C_DECIMAL
+        streams[K_DATA] = data
+        streams[K_SECONDARY] = sec
+        metas.append((name, tcode, has_present, codec, aux))
+        streams_out.append(streams)
+        return
 
     if tcode in _INT_TYPES:
         if tcode == T_TIMESTAMP_US:
@@ -513,8 +560,26 @@ def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
         return pa.ListArray.from_arrays(
             offsets, pa.array(child, pa.int32()), mask=mask), mi + 1
 
+    if tcode == T_DECIMAL128:
+        from .kernels.timestamp_decimal import decimal_decode
+        prec, scl = aux >> 8, aux & 0xFF
+        mant = np.array(
+            decimal_decode(stream(K_DATA), stream(K_SECONDARY), n_valid, scl),
+            dtype=np.int64)
+        storage = np.empty((n_valid, 2), dtype=np.int64)
+        storage[:, 0] = mant
+        storage[:, 1] = mant >> np.int64(63)
+        arr = pa.Array.from_buffers(
+            pa.decimal128(prec, scl), n_valid,
+            [None, pa.py_buffer(storage.tobytes())])
+        return _expand_with_nulls(arr, validity, n), mi + 1
+
     atype = _arrow_type(tcode)
-    if tcode in _INT_TYPES:
+    if tcode == T_TIMESTAMP_US and codec == C_TS2:
+        from .kernels.timestamp_decimal import timestamp_decode
+        ns = timestamp_decode(stream(K_DATA), stream(K_SECONDARY), n_valid)
+        arr = _respace_primitive(ns // np.int64(1000), validity, n, atype)
+    elif tcode in _INT_TYPES:
         vals = _decode_int(codec, stream(K_DATA), n_valid)
         arr = _respace_primitive(vals, validity, n, atype)
     elif tcode == T_INT8:

@@ -1,0 +1,69 @@
+"""Cross-implementation parity: decode the reference's checked-in real
+ORC fixtures (written by Java ORC / Spark / pyorc — see
+`/root/reference/tests/basic/data/README.md`) with OUR kernels via
+`sources/orc_reader.py`, and assert value equality against pyarrow's
+independent C++ ORC reader.  This is the e2e analog of the reference's
+`tests/basic/main.rs:618-662` fixture suite and the strongest evidence
+that the kernels implement the real ORC byte format, not a dialect.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+po = pytest.importorskip("pyarrow.orc")
+
+from orc_rust_spark.sources.orc_reader import read_orc, read_metadata
+
+DATA = "/root/reference/tests/basic/data"
+
+FIXTURES = [
+    # per-encoding coverage:
+    "string_dict.orc",              # DICTIONARY_V2 strings
+    "pyorc_rlev2_patchedbase.orc",  # RLEv2 patched-base int16
+    "alltypes.none.orc",            # every scalar type, uncompressed
+    "alltypes.zlib.orc",            # same, chunked-zlib streams
+    "nested_array.orc",             # list<int32>
+    "nested_array_float.orc",       # list<float>
+    "nested_array_struct.orc",      # list<struct>
+    "nested_struct.orc",            # struct with PRESENT threading
+    "nested_map.orc",               # map LENGTH + key/value children
+    "nested_map_struct.orc",        # map<.., struct>
+    "long_bool.orc",                # boolean bit-RLE
+    "long_bool_gzip.orc",
+    "string_long.orc",              # direct strings
+    "string_dict_gzip.orc",
+    "test.orc",                     # mixed: SR/delta/direct ints, ts, date
+    "demo-12-zlib.orc",             # 1.9M rows, RLEv2 (Hive 0.12)
+    "demo-11-zlib.orc",             # 1.9M rows, RLEv1 (Hive 0.11)
+]
+
+_missing = not os.path.isdir(DATA)
+
+
+@pytest.mark.skipif(_missing, reason="reference fixtures not present")
+@pytest.mark.parametrize("name", FIXTURES)
+def test_real_orc_value_parity(name):
+    path = os.path.join(DATA, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} absent")
+    ours = read_orc(path)
+    ref = po.ORCFile(path).read()
+    assert ours.num_rows == ref.num_rows
+    for col in ref.column_names:
+        a = ours.column(col).combine_chunks()
+        b = ref.column(col).combine_chunks()
+        if a.type != b.type:
+            a = a.cast(b.type)
+        assert a == b, f"{name}:{col} values differ"
+
+
+@pytest.mark.skipif(_missing, reason="reference fixtures not present")
+def test_metadata_parse():
+    meta = read_metadata(os.path.join(DATA, "demo-12-zlib.orc"))
+    assert meta.compression == 1  # zlib
+    assert sum(s["n_rows"] for s in meta.stripes) == 1920800
+    assert meta.field_names[0] == "_col0"
