@@ -1,0 +1,318 @@
+"""Real Apache ORC v1 file reader built on the engine's own kernels.
+
+Parses the ORC tail (PostScript / Footer protobufs, layout per the
+public ORC spec and `src/reader/metadata.rs:180-247` of the reference),
+walks each stripe's footer to locate per-column streams
+(`src/stripe.rs:311-336`), and decodes them through the SAME kernel
+functions our stripe format uses (RLEv1/RLEv2, byte-RLE, boolean
+bit-RLE, IEEE floats, decimal varints, two-stream timestamps, string
+direct/dictionary).  This is the cross-implementation parity gate: the
+checked-in `.orc` fixtures under `/root/reference/tests/basic/data`
+were written by Java/C++/pyorc writers, so value-equality against
+`pyarrow.orc` on them proves the kernels decode real ORC byte streams,
+not just our own round-trips (`tests/basic/main.rs:618-662` analog).
+
+Scope: a correctness oracle, not a scan operator — the Spark-scale read
+path is parquet; this exists to pin kernel parity end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.boolean import boolean_decode
+from ..kernels.byte_rle import byte_rle_decode
+from ..kernels.compression import decompress_stream
+from ..kernels.float_codec import float_decode
+from ..kernels.rle_v1 import rle_v1_decode
+from ..kernels.rle_v2 import rle_v2_decode
+from ..kernels.timestamp_decimal import decimal_decode, timestamp_decode
+from ..kernels.util import read_varint
+
+# proto enum values (format/orc_proto.proto in the reference; public spec)
+K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY = 0, 1, 2, 3, 5
+ENC_DIRECT, ENC_DICT, ENC_DIRECT_V2, ENC_DICT_V2 = 0, 1, 2, 3
+(TK_BOOL, TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_FLOAT, TK_DOUBLE,
+ TK_STRING, TK_BINARY, TK_TIMESTAMP, TK_LIST, TK_MAP, TK_STRUCT,
+ TK_UNION, TK_DECIMAL, TK_DATE, TK_VARCHAR, TK_CHAR,
+ TK_TIMESTAMP_INSTANT) = range(19)
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire-format parser (varint / 64-bit / bytes / 32-bit)
+# ---------------------------------------------------------------------------
+
+def _pb_parse(buf) -> dict[int, list]:
+    """Message bytes -> {field_number: [values...]}; length-delimited
+    fields stay raw bytes for the caller to interpret."""
+    buf = memoryview(buf)
+    out: dict[int, list] = {}
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = read_varint(buf, pos)
+        elif wire == 1:
+            v = int.from_bytes(buf[pos: pos + 8], "little")
+            pos += 8
+        elif wire == 2:
+            ln, pos = read_varint(buf, pos)
+            v = bytes(buf[pos: pos + ln])
+            pos += ln
+        elif wire == 5:
+            v = int.from_bytes(buf[pos: pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        out.setdefault(field, []).append(v)
+    return out
+
+
+def _packed_varints(raw: list) -> list[int]:
+    """repeated packed uint32: may arrive packed (bytes) or unpacked."""
+    out: list[int] = []
+    for item in raw:
+        if isinstance(item, int):
+            out.append(item)
+        else:
+            pos = 0
+            mv = memoryview(item)
+            while pos < len(mv):
+                v, pos = read_varint(mv, pos)
+                out.append(v)
+    return out
+
+
+def _one(msg: dict, field: int, default=0):
+    return msg[field][0] if field in msg else default
+
+
+# ---------------------------------------------------------------------------
+# tail / metadata
+# ---------------------------------------------------------------------------
+
+class OrcMeta:
+    def __init__(self, compression: int, types: list[dict], stripes: list[dict],
+                 field_names: list[str]):
+        self.compression = compression
+        self.types = types
+        self.stripes = stripes
+        self.field_names = field_names
+
+
+def read_metadata(path: str) -> OrcMeta:
+    with open(path, "rb") as f:
+        data = f.read()
+    ps_len = data[-1]
+    ps = _pb_parse(data[-1 - ps_len: -1])
+    footer_len = _one(ps, 1)
+    compression = _one(ps, 2)  # 0 none, 1 zlib, 2 snappy, 3 lzo, 4 lz4, 5 zstd
+    footer_raw = data[-1 - ps_len - footer_len: -1 - ps_len]
+    if compression:
+        footer_raw = decompress_stream(footer_raw, compression)
+    footer = _pb_parse(footer_raw)
+    types = []
+    for traw in footer.get(4, []):
+        t = _pb_parse(traw)
+        types.append({
+            "kind": _one(t, 1),
+            "subtypes": _packed_varints(t.get(2, [])),
+            "field_names": [b.decode() for b in t.get(3, [])],
+            "precision": _one(t, 5, 0),
+            "scale": _one(t, 6, 0),
+        })
+    stripes = []
+    for sraw in footer.get(3, []):
+        s = _pb_parse(sraw)
+        stripes.append({
+            "offset": _one(s, 1), "index_length": _one(s, 2),
+            "data_length": _one(s, 3), "footer_length": _one(s, 4),
+            "n_rows": _one(s, 5),
+        })
+    root = types[0] if types else {"field_names": []}
+    return OrcMeta(compression, types, stripes, root["field_names"])
+
+
+# ---------------------------------------------------------------------------
+# stripe decode
+# ---------------------------------------------------------------------------
+
+def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
+    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)})"""
+    start = si["offset"]
+    body_len = si["index_length"] + si["data_length"]
+    foot_raw = data[start + body_len: start + body_len + si["footer_length"]]
+    if meta.compression:
+        foot_raw = decompress_stream(foot_raw, meta.compression)
+    foot = _pb_parse(foot_raw)
+    streams = {}
+    off = start
+    for sraw in foot.get(1, []):
+        s = _pb_parse(sraw)
+        kind, col, ln = _one(s, 1), _one(s, 2), _one(s, 3)
+        raw = data[off: off + ln]
+        off += ln
+        if kind in (K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY):
+            if meta.compression:
+                raw = decompress_stream(raw, meta.compression)
+            streams[(col, kind)] = raw
+    encodings = {}
+    for ci, craw in enumerate(foot.get(2, [])):
+        c = _pb_parse(craw)
+        encodings[ci] = (_one(c, 1), _one(c, 2))
+    return streams, encodings
+
+
+def _ints(buf, n: int, enc: int, signed: bool) -> np.ndarray:
+    if enc in (ENC_DIRECT_V2, ENC_DICT_V2):
+        return rle_v2_decode(buf, n, signed=signed)
+    return rle_v1_decode(buf, n, signed=signed)
+
+
+def _respace(vals: np.ndarray, validity, n: int) -> tuple[np.ndarray, np.ndarray | None]:
+    if validity is None:
+        return vals, None
+    out = np.zeros(n, dtype=vals.dtype)
+    out[validity] = vals
+    return out, ~validity
+
+
+def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Array:
+    t = meta.types[cid]
+    kind = t["kind"]
+    enc, dict_size = encodings.get(cid, (ENC_DIRECT, 0))
+
+    present = streams.get((cid, K_PRESENT))
+    if present is not None:
+        validity = boolean_decode(present, n).astype(bool)
+        n_valid = int(validity.sum())
+    else:
+        validity = None
+        n_valid = n
+
+    def data(k=K_DATA):
+        return streams.get((cid, k), b"")
+
+    mask = None
+    if kind == TK_STRUCT:
+        children, names = [], []
+        for sub, fname in zip(t["subtypes"], t["field_names"]):
+            children.append(_decode_column(sub, meta, streams, encodings, n_valid))
+            names.append(fname)
+        st = pa.StructArray.from_arrays(children, names)
+        if validity is None:
+            return st
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[validity] = np.arange(n_valid, dtype=np.int64)
+        return st.take(pa.array(idx, pa.int64(), mask=~validity))
+
+    if kind in (TK_LIST, TK_MAP):
+        lengths = _ints(data(K_LENGTH), n_valid, enc, signed=False)
+        total = int(lengths.sum())
+        offs_valid = np.zeros(n_valid + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs_valid[1:])
+        if validity is None:
+            offsets = offs_valid
+        else:
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            offsets[1:] = offs_valid[np.cumsum(validity)]
+            mask = pa.array(~validity)
+        poff = pa.array(offsets.astype(np.int32), pa.int32())
+        if kind == TK_LIST:
+            child = _decode_column(t["subtypes"][0], meta, streams, encodings, total)
+            return pa.ListArray.from_arrays(poff, child, mask=mask)
+        keys = _decode_column(t["subtypes"][0], meta, streams, encodings, total)
+        vals = _decode_column(t["subtypes"][1], meta, streams, encodings, total)
+        arr = pa.MapArray.from_arrays(poff, keys, vals)
+        if mask is not None:
+            idx = np.arange(n, dtype=np.int64)
+            arr = arr.take(pa.array(idx, pa.int64(), mask=np.asarray(~validity)))
+        return arr
+
+    if kind == TK_BOOL:
+        vals = boolean_decode(data(), n_valid).astype(bool)
+        v, m = _respace(vals, validity, n)
+        return pa.array(v, pa.bool_(), mask=m)
+    if kind == TK_BYTE:
+        vals = byte_rle_decode(data(), n_valid).view(np.int8)
+        v, m = _respace(vals, validity, n)
+        return pa.array(v, pa.int8(), mask=m)
+    if kind in (TK_SHORT, TK_INT, TK_LONG, TK_DATE):
+        vals = _ints(data(), n_valid, enc, signed=True)
+        at = {TK_SHORT: pa.int16(), TK_INT: pa.int32(), TK_LONG: pa.int64(),
+              TK_DATE: pa.date32()}[kind]
+        v, m = _respace(vals, validity, n)
+        if kind == TK_DATE:
+            return pa.array(v.astype(np.int32), pa.int32(), mask=m).cast(at)
+        return pa.array(v, pa.int64(), mask=m).cast(at)
+    if kind in (TK_FLOAT, TK_DOUBLE):
+        dt = np.float32 if kind == TK_FLOAT else np.float64
+        vals = float_decode(data(), n_valid, dt)
+        v, m = _respace(vals, validity, n)
+        return pa.array(v, pa.float32() if kind == TK_FLOAT else pa.float64(),
+                        mask=m)
+    if kind in (TK_STRING, TK_VARCHAR, TK_CHAR, TK_BINARY):
+        at = pa.binary() if kind == TK_BINARY else pa.string()
+        if enc in (ENC_DICT, ENC_DICT_V2):
+            dict_lengths = _ints(data(K_LENGTH), dict_size, enc, signed=False)
+            doffs = np.zeros(dict_size + 1, dtype=np.int64)
+            np.cumsum(dict_lengths, out=doffs[1:])
+            dict_blob = data(K_DICT_DATA)
+            idx = _ints(data(), n_valid, enc, signed=False)
+            uniq = [bytes(dict_blob[doffs[i]: doffs[i + 1]])
+                    for i in range(dict_size)]
+            vals = [uniq[i] for i in idx]
+        else:
+            lengths = _ints(data(K_LENGTH), n_valid, enc, signed=False)
+            offs = np.zeros(n_valid + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            blob = data()
+            vals = [bytes(blob[offs[i]: offs[i + 1]]) for i in range(n_valid)]
+        if validity is None:
+            out = vals
+        else:
+            out = []
+            it = iter(vals)
+            for ok in validity:
+                out.append(next(it) if ok else None)
+        return pa.array([v.decode() if isinstance(v, bytes) and kind != TK_BINARY
+                         else v for v in out], at)
+    if kind == TK_DECIMAL:
+        mant = decimal_decode(data(), data(K_SECONDARY), n_valid, t["scale"])
+        at = pa.decimal128(t["precision"] or 38, t["scale"])
+        storage = np.empty((n_valid, 2), dtype=np.int64)
+        storage[:, 0] = np.array(mant, dtype=np.int64)
+        storage[:, 1] = storage[:, 0] >> np.int64(63)
+        arr = pa.Array.from_buffers(at, n_valid,
+                                    [None, pa.py_buffer(storage.tobytes())])
+        if validity is None:
+            return arr
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[validity] = np.arange(n_valid, dtype=np.int64)
+        return arr.take(pa.array(idx, pa.int64(), mask=~validity))
+    if kind in (TK_TIMESTAMP, TK_TIMESTAMP_INSTANT):
+        ns = timestamp_decode(data(), data(K_SECONDARY), n_valid)
+        v, m = _respace(ns, validity, n)
+        return pa.array(v, pa.int64(), mask=m).cast(pa.timestamp("ns"))
+    raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
+
+
+def read_orc(path: str) -> pa.Table:
+    """Decode a real ORC file to an Arrow table using the engine kernels."""
+    meta = read_metadata(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    root = meta.types[0]
+    batches = []
+    for si in meta.stripes:
+        streams, encodings = _stripe_streams(data, meta, si)
+        n = si["n_rows"]
+        cols = [_decode_column(sub, meta, streams, encodings, n)
+                for sub in root["subtypes"]]
+        batches.append(pa.table(cols, names=root["field_names"]))
+    if not batches:
+        return pa.table({name: [] for name in root["field_names"]})
+    return pa.concat_tables(batches)
