@@ -57,16 +57,30 @@ class SymbolTable:
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
         self.symbols = symbols
-        # per length: sorted u64 keys + the code of each
-        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for ln in range(1, MAX_LEN + 1):
-            pairs = [(_sym_key(s), c) for c, s in enumerate(symbols) if len(s) == ln]
-            if pairs:
-                pairs.sort()
-                self._by_len[ln] = (
-                    np.array([p[0] for p in pairs], dtype=U64),
-                    np.array([p[1] for p in pairs], dtype=np.int64),
-                )
+        # longest-match acceleration (paper §4 "fast symbol table"):
+        # direct LUTs for 1- and 2-byte symbols, and per-2-byte-prefix
+        # buckets (sorted longest-first) for len >= 3
+        self._lut1 = np.full(256, -1, dtype=np.int32)
+        self._lut2 = np.full(65536, -1, dtype=np.int32)
+        long = []  # (prefix2, -len, key, len, code)
+        for c, s in enumerate(symbols):
+            if len(s) == 1:
+                self._lut1[s[0]] = c
+            elif len(s) == 2:
+                self._lut2[(s[0] << 8) | s[1]] = c
+            else:
+                long.append(((s[0] << 8) | s[1], -len(s), _sym_key(s), len(s), c))
+        long.sort()
+        cnt = np.zeros(65536, dtype=np.int64)
+        for p2, _, _, _, _ in long:
+            cnt[p2] += 1
+        self._bstart = np.zeros(65537, dtype=np.int64)
+        np.cumsum(cnt, out=self._bstart[1:])
+        self._bdepth = int(cnt.max()) if long else 0
+        self._bkey = np.array([e[2] for e in long], dtype=U64)
+        self._blen = np.array([e[3] for e in long], dtype=np.int64)
+        self._bcode = np.array([e[4] for e in long], dtype=np.int32)
+        self._bcount = cnt
 
     def match_tables(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized longest-match: per position, (match_len, code);
@@ -74,18 +88,50 @@ class SymbolTable:
         n = len(data)
         mlen = np.zeros(n, dtype=np.int64)
         mcode = np.zeros(n, dtype=np.int64)
-        full = _prefix_keys(data, MAX_LEN)
-        for ln in sorted(self._by_len, reverse=False):
-            keys, codes = self._by_len[ln]
-            shift = U64(8 * (MAX_LEN - ln))
-            # operate only on positions where a full match can fit
-            m = n - ln + 1
-            pref = (full[:m] >> shift) << shift
-            pos = np.searchsorted(keys, pref)
-            np.minimum(pos, len(keys) - 1, out=pos)
-            hit = keys[pos] == pref
-            mlen[:m][hit] = ln  # later (longer) lengths overwrite
-            mcode[:m][hit] = codes[pos[hit]]
+        if n == 0:
+            return mlen, mcode
+        d64 = data.astype(np.int64)
+        # 1-byte LUT (weakest priority — assigned first, overwritten later)
+        c1 = self._lut1[data]
+        h1 = c1 >= 0
+        mlen[h1] = 1
+        mcode[h1] = c1[h1]
+        # 2-byte LUT
+        if n >= 2:
+            p2 = (d64[:-1] << 8) | d64[1:]
+            c2 = self._lut2[p2]
+            h2 = c2 >= 0
+            mlen[:-1][h2] = 2
+            mcode[:-1][h2] = c2[h2]
+        else:
+            p2 = np.empty(0, dtype=np.int64)
+        # len>=3 buckets: compact to positions whose prefix bucket is
+        # non-empty, ordered by descending bucket depth so probe t only
+        # touches a contiguous prefix (work = sum of per-position bucket
+        # depths, not depth * n).  Entries are longest-first per bucket;
+        # probing t ascending with a "only if longer" guard keeps
+        # longest-match semantics.
+        if self._bdepth and n >= 2:
+            bcnt = self._bcount[p2]
+            cand = np.nonzero(bcnt > 0)[0]
+            if len(cand):
+                full = _prefix_keys(data, MAX_LEN)
+                order = cand[np.argsort(-bcnt[cand], kind="stable")]
+                cnt_s = bcnt[order]
+                base_s = self._bstart[p2[order]]
+                full_s = full[order]
+                neg = -cnt_s
+                for t in range(int(cnt_s[0])):
+                    m = int(np.searchsorted(neg, -(t + 1), side="right"))
+                    e = base_s[:m] + t
+                    ln_e = self._blen[e]
+                    shift = (np.int64(8) * (np.int64(MAX_LEN) - ln_e)).astype(U64)
+                    oh = order[:m]
+                    hit = ((full_s[:m] >> shift) << shift == self._bkey[e]) \
+                        & (oh + ln_e <= n) & (mlen[oh] < ln_e)
+                    ph = oh[hit]
+                    mlen[ph] = ln_e[hit]
+                    mcode[ph] = self._bcode[e[hit]]
         return mlen, mcode
 
     def to_bytes(self) -> bytes:
@@ -109,6 +155,33 @@ class SymbolTable:
         return cls(syms), pos
 
 
+def _chain(mlen: np.ndarray) -> np.ndarray:
+    """Visited positions of the greedy parse (jump-pointer enumeration;
+    see `_parse`)."""
+    n = len(mlen)
+    step = np.maximum(mlen, 1)
+    nxt = np.arange(n, dtype=np.int64) + step
+    np.minimum(nxt, n, out=nxt)
+    nxt_ext = np.concatenate((nxt, np.array([n], dtype=np.int64)))
+
+    BLOCK = 1024
+    J = nxt_ext
+    for _ in range(10):  # 2^10 = BLOCK codes per jump
+        J = J[J]
+    starts = [0]
+    b = int(J[0])
+    while b < n:
+        starts.append(b)
+        b = int(J[b])
+    S = np.array(starts, dtype=np.int64)
+    P = np.empty((BLOCK, len(S)), dtype=np.int64)
+    P[0] = S
+    for s in range(1, BLOCK):
+        P[s] = nxt_ext[P[s - 1]]
+    chain = P.T.ravel()
+    return chain[chain < n]  # sentinel-clipped tail of the last block
+
+
 def _parse(data: np.ndarray, table: SymbolTable) -> np.ndarray:
     """Greedy left-to-right parse, fully vectorized.
 
@@ -130,28 +203,7 @@ def _parse(data: np.ndarray, table: SymbolTable) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint8)
     mlen, mcode = table.match_tables(data)
-    step = np.maximum(mlen, 1)
-    nxt = np.arange(n, dtype=np.int64) + step
-    np.minimum(nxt, n, out=nxt)
-    nxt_ext = np.concatenate((nxt, np.array([n], dtype=np.int64)))
-
-    BLOCK = 1024
-    J = nxt_ext
-    for _ in range(10):  # 2^10 = BLOCK codes per jump
-        J = J[J]
-    starts = [0]
-    b = int(J[0])
-    while b < n:
-        starts.append(b)
-        b = int(J[b])
-    S = np.array(starts, dtype=np.int64)
-    P = np.empty((BLOCK, len(S)), dtype=np.int64)
-    P[0] = S
-    for s in range(1, BLOCK):
-        P[s] = nxt_ext[P[s - 1]]
-    chain = P.T.ravel()
-    chain = chain[chain < n]  # sentinel-clipped tail of the last block
-
+    chain = _chain(mlen)
     ml = mlen[chain]
     esc = ml == 0
     out_sz = np.where(esc, 2, 1)
@@ -167,32 +219,41 @@ def _parse(data: np.ndarray, table: SymbolTable) -> np.ndarray:
 
 def train(data: np.ndarray, iterations: int = 4,
           sample_bytes: int = 1 << 14) -> SymbolTable:
-    """Iterative symbol-table construction on a bounded sample (paper §3)."""
+    """Iterative symbol-table construction on a bounded sample (paper §3).
+
+    Each iteration parses the sample with the current table (chain
+    enumeration, no per-code Python), then counts symbols and adjacent
+    concatenations with integer-key bincount/unique — byte strings are
+    materialized only for the few hundred distinct candidates."""
     sample = data[:sample_bytes]
     table = SymbolTable([])
-    raw = sample.tolist()
     for _ in range(iterations):
-        # parse sample, counting symbols and adjacent concatenations
         mlen, mcode = table.match_tables(sample)
-        ml = mlen.tolist()
-        counts: dict[bytes, int] = {}
-        i = 0
-        n = len(ml)
-        prev: bytes | None = None
+        chain = _chain(mlen)
+        ml = mlen[chain]
+        # symbol identity per parsed token: code, or 256+byte for escapes
+        sym_id = np.where(ml > 0, mcode[chain], 256 + sample[chain].astype(np.int64))
         sym_list = table.symbols
-        while i < n:
-            ln = ml[i]
-            if ln:
-                cur = sym_list[mcode[i]]
-            else:
-                cur = bytes((raw[i],))
-                ln = 1
-            counts[cur] = counts.get(cur, 0) + 1
-            if prev is not None and len(prev) + len(cur) <= MAX_LEN:
-                cat = prev + cur
-                counts[cat] = counts.get(cat, 0) + 1
-            prev = cur
-            i += ln
+        id_len = np.concatenate((
+            np.array([len(s) for s in sym_list] + [0] * (256 - len(sym_list)),
+                     dtype=np.int64),
+            np.ones(256, dtype=np.int64)))
+
+        def id_bytes(i: int) -> bytes:
+            return sym_list[i] if i < 256 else bytes((i - 256,))
+
+        counts: dict[bytes, int] = {}
+        ids, cnt = np.unique(sym_id, return_counts=True)
+        for i, c in zip(ids.tolist(), cnt.tolist()):
+            b = id_bytes(i)
+            counts[b] = counts.get(b, 0) + int(c)
+        if len(sym_id) > 1:
+            ok = id_len[sym_id[:-1]] + id_len[sym_id[1:]] <= MAX_LEN
+            pk = sym_id[:-1][ok] * 512 + sym_id[1:][ok]
+            pids, pcnt = np.unique(pk, return_counts=True)
+            for p, c in zip(pids.tolist(), pcnt.tolist()):
+                b = id_bytes(p // 512) + id_bytes(p % 512)
+                counts[b] = counts.get(b, 0) + int(c)
         # keep highest-gain candidates
         ranked = sorted(counts.items(),
                         key=lambda kv: (-(kv[1] * len(kv[0])), kv[0]))

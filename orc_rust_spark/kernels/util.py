@@ -36,14 +36,21 @@ def bits_used_scalar(v: int) -> int:
 
 
 def bits_used(values: np.ndarray) -> np.ndarray:
-    """Vectorized bit length for a uint64 array (exact for all 64 bits).
+    """Vectorized bit length for a uint array (exact for all 64 bits).
 
-    float64 frexp gives the exponent up to rounding; values just below a
-    power of two can round up, so one exact uint64 compare corrects the
-    overestimate (and caps the 2^63.. range at 64).
+    float64 frexp gives the exponent up to rounding; conversion is exact
+    below 2^53, so the one-compare correction pass only runs when the
+    input can actually carry >53 significant bits.  uint32/uint16 inputs
+    convert to float64 directly (no uint64 upcast copy) — the narrow
+    int32 token path stays 2 passes total.
     """
-    v = np.ascontiguousarray(values, dtype=U64)
+    v = np.asarray(values)
+    if v.dtype in (np.uint32, np.uint16, np.uint8):
+        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    v = np.ascontiguousarray(v, dtype=U64)
     bl = np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    if v.size == 0 or int(v.max()) < (1 << 53):
+        return bl
     np.minimum(bl, 64, out=bl)
     shift = np.maximum(bl - 1, 0).astype(U64)
     over = (bl > 0) & ((U64(1) << shift) > v)
@@ -115,6 +122,9 @@ def get_closest_aligned_bit_width(width: int) -> int:
 # vectorized lookup tables (index = bit length 0..64)
 _ALIGNED_WIDTH_LUT = np.array(
     [get_closest_aligned_bit_width(w) for w in range(65)], dtype=np.int64
+)
+_FIXED_BITS_LUT = np.array(
+    [get_closest_fixed_bits(w) for w in range(65)], dtype=np.int64
 )
 _ENCODE_BIT_WIDTH_LUT = np.array([encode_bit_width(w) for w in range(65)], dtype=np.int64)
 _DECODE_BIT_WIDTH_LUT = np.array([decode_bit_width(c) for c in range(32)], dtype=np.int64)
