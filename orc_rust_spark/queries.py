@@ -592,6 +592,59 @@ _TS2_ORACLE = ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
                "FROM events")
 
 
+def q_decode_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-stripe row-group pruning (`src/row_group_filter.rs:51-118`
+    analog): stripes carry per-10k-row per-column min/max; decode skips
+    groups whose bounds cannot intersect the predicate WITHOUT touching
+    their bytes, and a final Catalyst filter exacts the bound.  At 100 TB
+    this is the difference between decoding a 2M-token stripe and the
+    one row group a selective predicate wants."""
+    import pyarrow as pa  # noqa: F401  (worker-side)
+    import pyspark.sql.types as T
+    from .stripes import decode_stripe_rowgroups, encode_stripe_rowgroups
+
+    lo, hi = 3_000, 9_000
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_quantity")
+
+    def enc(batches):
+        import pyarrow as pa
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            blob = encode_stripe_rowgroups(b, group_rows=4096)
+            yield pa.record_batch([pa.array([blob], pa.binary())],
+                                  names=["blob"])
+
+    stripes = li.mapInArrow(
+        enc, T.StructType([T.StructField("blob", T.BinaryType())]))
+
+    out_schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_quantity", T.DoubleType()),
+    ])
+
+    def dec(batches):
+        for b in batches:
+            col = b.column("blob")
+            for i in range(b.num_rows):
+                out = decode_stripe_rowgroups(
+                    col[i].as_py(), predicate={"l_orderkey": (lo, hi)})
+                if out.num_rows:
+                    yield out
+
+    decoded = stripes.mapInArrow(dec, out_schema)
+    return decoded.filter((F.col("l_orderkey") >= lo)
+                          & (F.col("l_orderkey") <= hi))
+
+
+_ROWGROUP_ORACLE = (
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+    "WHERE l_orderkey BETWEEN 3000 AND 9000"
+)
+
+
 def q_roundtrip_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-compression coverage (§2.2, `src/compression.rs` chunked
     zlib): the token stripes are wrapped in the ORC chunked stream
@@ -637,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_nested"] = q_roundtrip_nested
     q["roundtrip_ts2"] = q_roundtrip_ts2
     q["roundtrip_compressed"] = q_roundtrip_compressed
+    q["decode_rowgroup_pruned"] = q_decode_rowgroup_pruned
     q["roundtrip_tokens"] = q_roundtrip_tokens
     q["tokens_projection"] = q_tokens_projection
     q["decode_pruned"] = q_decode_pruned
@@ -668,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_nested"] = _NESTED_ORACLE
     o["roundtrip_ts2"] = _TS2_ORACLE
     o["roundtrip_compressed"] = _TOKENS_ORACLE_BASE
+    o["decode_rowgroup_pruned"] = _ROWGROUP_ORACLE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
     o["tokens_projection"] = \
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents"

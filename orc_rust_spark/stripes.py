@@ -633,6 +633,13 @@ def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
     for ci, kind, ln in dir_entries:
         stream_loc[(ci, kind)] = (offset, ln)
         offset += ln
+    # corrupt-input guard (`tests/integration/data/corrupt` analog): a
+    # truncated blob or an overlong directory length must fail cleanly
+    # here, not decode garbage from a short buffer downstream
+    if offset > len(buf):
+        raise ValueError(
+            f"truncated stripe: directory claims {offset} bytes, "
+            f"blob has {len(buf)}")
 
     def stream_for(ci: int, kind: int):
         off, ln = stream_loc[(ci, kind)]
@@ -655,8 +662,173 @@ def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
 
 def stripe_num_rows(blob) -> int:
     buf = memoryview(blob)
+    if bytes(buf[:4]) == MAGIC_ROWGROUP:
+        meta = _rowgroup_meta(buf)
+        return sum(g["n_rows"] for g in meta)
     n_rows, _ = read_varint(buf, 4)
     return n_rows
+
+
+# ---------------------------------------------------------------------------
+# row-grouped stripes: sub-stripe statistics + selective decode
+# (`src/row_index.rs:18-60`, `src/row_group_filter.rs:51-118` analog —
+# the reference keeps per-row-group positions + min/max and skips
+# non-matching groups; here each row group is its own encoded section,
+# so a skipped group's bytes are never touched, not just not returned)
+# ---------------------------------------------------------------------------
+
+MAGIC_ROWGROUP = b"OSPR"
+DEFAULT_ROW_GROUP_ROWS = 10_000  # the reference's index stride
+
+
+def _stat_bytes(v) -> bytes:
+    """Order-preserving byte encoding, so group pruning can compare
+    min/max of any stat column as plain bytes: ints sign-biased
+    big-endian, floats via the IEEE total-order trick, strings raw
+    UTF-8.  A wrong order here would prune a matching group — silent
+    data loss — so numbers must NOT go through decimal strings."""
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, str):
+        return v.encode()
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, int):
+        return (v + (1 << 63)).to_bytes(8, "big")
+    if isinstance(v, float):
+        import struct
+        b = struct.unpack(">Q", struct.pack(">d", v))[0]
+        b = (b ^ (1 << 63)) if not (b >> 63) else (~b & 0xFFFFFFFFFFFFFFFF)
+        return b.to_bytes(8, "big")
+    raise TypeError(f"unsupported stat value type {type(v)}")
+
+
+def encode_stripe_rowgroups(batch: pa.RecordBatch,
+                            plans: dict[str, ColumnPlan] | None = None,
+                            group_rows: int = DEFAULT_ROW_GROUP_ROWS,
+                            stat_columns: list[str] | None = None) -> bytes:
+    """Encode with a row-group index: the batch splits into ~group_rows
+    sections, each an independent OSP1 stripe, with per-group per-column
+    min/max in the container header.
+
+    Layout:
+        magic  b"OSPR"
+        varint n_groups, varint n_stat_cols
+        per stat col: varint len(name), name
+        per group: varint n_rows, varint blob_len,
+                   per stat col: varint len(min), min, varint len(max), max
+        group blobs...
+    """
+    names = [f.name for f in batch.schema]
+    if stat_columns is None:
+        stat_columns = [n for n, f in zip(names, batch.schema)
+                        if pa.types.is_integer(f.type) or
+                        pa.types.is_string(f.type) or
+                        pa.types.is_floating(f.type)]
+    header = bytearray()
+    write_varint(header, len(stat_columns))
+    for c in stat_columns:
+        cb = c.encode()
+        write_varint(header, len(cb))
+        header += cb
+    groups = bytearray()
+    blobs: list[bytes] = []
+    n_groups = 0
+    for off in range(0, batch.num_rows, group_rows) or [0]:
+        g = batch.slice(off, group_rows)
+        blob = encode_stripe(g, plans)
+        entry = bytearray()
+        write_varint(entry, g.num_rows)
+        write_varint(entry, len(blob))
+        for c in stat_columns:
+            col = g.column(names.index(c))
+            mn = pa.compute.min(col).as_py()
+            mx = pa.compute.max(col).as_py()
+            for v in (mn, mx):
+                vb = _stat_bytes(v) if v is not None else b""
+                write_varint(entry, len(vb))
+                entry += vb
+        groups += entry
+        blobs.append(blob)
+        n_groups += 1
+    out = bytearray(MAGIC_ROWGROUP)
+    write_varint(out, n_groups)
+    out += header
+    out += groups
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def _rowgroup_meta(buf) -> list[dict]:
+    pos = 4
+    n_groups, pos = read_varint(buf, pos)
+    n_stat, pos = read_varint(buf, pos)
+    stat_cols = []
+    for _ in range(n_stat):
+        ln, pos = read_varint(buf, pos)
+        stat_cols.append(bytes(buf[pos: pos + ln]).decode())
+        pos += ln
+    metas = []
+    for _ in range(n_groups):
+        n_rows, pos = read_varint(buf, pos)
+        blob_len, pos = read_varint(buf, pos)
+        stats = {}
+        for c in stat_cols:
+            ln, pos = read_varint(buf, pos)
+            mn = bytes(buf[pos: pos + ln])
+            pos += ln
+            ln, pos = read_varint(buf, pos)
+            mx = bytes(buf[pos: pos + ln])
+            pos += ln
+            stats[c] = (mn, mx)
+        metas.append({"n_rows": n_rows, "blob_len": blob_len, "stats": stats})
+    off = pos
+    for m in metas:
+        m["offset"] = off
+        off += m["blob_len"]
+    return metas
+
+
+def decode_stripe_rowgroups(blob, columns: list[str] | None = None,
+                            predicate: dict[str, tuple] | None = None,
+                            _stats=None) -> pa.RecordBatch:
+    """Decode a row-grouped stripe; `predicate` maps column -> (lo, hi)
+    inclusive bounds (as the column's python type, compared through the
+    same string canonicalization the stats use).  Groups whose [min,max]
+    cannot intersect are skipped WITHOUT touching their bytes — the
+    `evaluate_predicate` -> skip path of `src/row_group_filter.rs`."""
+    buf = memoryview(blob)
+    if bytes(buf[:4]) != MAGIC_ROWGROUP:
+        raise ValueError("bad row-group stripe magic")
+    metas = _rowgroup_meta(buf)
+    batches = []
+    n_scanned = 0
+    for m in metas:
+        keep = True
+        if predicate:
+            for c, (lo, hi) in predicate.items():
+                if c not in m["stats"]:
+                    continue
+                mn, mx = m["stats"][c]
+                if lo is not None and mx < _stat_bytes(lo):
+                    keep = False
+                if hi is not None and mn > _stat_bytes(hi):
+                    keep = False
+        if keep:
+            sub = bytes(buf[m["offset"]: m["offset"] + m["blob_len"]])
+            batches.append(decode_stripe(sub, columns=columns))
+            n_scanned += m["n_rows"]
+    if _stats is not None:
+        _stats["groups_total"] = len(metas)
+        _stats["groups_decoded"] = len(batches)
+        _stats["rows_decoded"] = n_scanned
+    if not batches:
+        first = bytes(buf[metas[0]["offset"]:
+                          metas[0]["offset"] + metas[0]["blob_len"]])
+        return decode_stripe(first, columns=columns).slice(0, 0)
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    return tbl.to_batches()[0] if tbl.num_rows else batches[0].slice(0, 0)
 
 
 def _respace_primitive(vals: np.ndarray, validity, n_rows: int, atype) -> pa.Array:
