@@ -135,7 +135,7 @@ def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
 
 
 def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
-                        width_bits: int = 64) -> bytes:
+                        width_bits: int = 64, interop: bool = False) -> bytes:
     # int32-domain fast path: token data is array<int32>; keeping the
     # gathered values and zigzag arrays 32-bit halves the memory traffic
     # of classification/emission while every emitted byte stays identical
@@ -172,7 +172,7 @@ def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
                    np.array(run_ln, dtype=np.int64), parts, signed)
     if lit_sids:
         _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
-                               narrow)
+                               narrow, interop)
     return b"".join(parts)  # type: ignore[arg-type]
 
 
@@ -233,7 +233,7 @@ def _per_len(counts: np.ndarray, percentile: float) -> np.ndarray:
 
 
 def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
-                           narrow=False) -> None:
+                           narrow=False, interop=False) -> None:
     la = np.array([segs[i][1] for i in lit_sids], dtype=np.int64)
     ll = np.array([segs[i][2] for i in lit_sids], dtype=np.int64)
     K = len(la)
@@ -421,6 +421,20 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
                 plist, patch_gap_width = _derive_patches(
                     brl, patch_bits_width, brl_95p)
                 patches = np.array(plist, dtype=U64)
+            if interop and not 1 <= len(patches) <= 31:
+                # the reference encoder (patched_base.rs:262) writes
+                # patches.len() into a 5-bit field unguarded; 0 or >31
+                # produces a header external ORC readers reject (Java:
+                # "Corrupt PATCHED_BASE (pl==0)").  Our own decoder
+                # round-trips it, but interop output re-routes the block
+                # to DIRECT at the 100p width instead.
+                w = int(_ALIGNED_WIDTH_LUT[bits_used_scalar(int(zmax[k]))])
+                cat[k] = _CAT_DIRECT
+                dwidth[k] = w
+                payloads[k] = pack_ints(
+                    np.ascontiguousarray(zzg[bnd[k]: bnd[k] + ln]).astype(
+                        U64, copy=False), w)
+                continue
             base = int(vmin[k])
             base_bit_width = get_closest_fixed_bits(bits_used_scalar(abs(base)) + 1)
             base_byte_width = max((base_bit_width + 7) // 8, 1)
