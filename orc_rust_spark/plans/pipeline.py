@@ -39,6 +39,50 @@ TOKEN_PA_SCHEMA = pa.schema([
 ])
 
 
+def _plan_sample(df: DataFrame, cap_per_part: int = 4096):
+    """ONE narrow job producing a bounded, weighted systematic sample of
+    (doc_id, n_tok): each partition keeps every stride-th row, doubling
+    the stride whenever its buffer exceeds the cap, and reports the
+    final stride as the row's weight (how many rows it represents).
+
+    Replaces the previous `df.count()` + `df.sample().toPandas()` pair —
+    two full scans per planning call — with a single pass (VERDICT r1
+    'two extra full scans per wave set is real money')."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("weight", T.LongType()),
+    ])
+
+    def stage(batches):
+        ids = pa.array([], pa.string())
+        ntok = pa.array([], pa.int64())
+        stride = 1
+        gi = 0
+        for b in batches:
+            nb = b.num_rows
+            take = np.arange((-gi) % stride, nb, stride, dtype=np.int64)
+            if len(take):
+                ti = pa.array(take)
+                ids = pa.concat_arrays(
+                    [ids, b.column("doc_id").cast(pa.string()).take(ti)])
+                ntok = pa.concat_arrays(
+                    [ntok, b.column("n_tok").cast(pa.int64()).take(ti)])
+                while len(ids) > cap_per_part:
+                    half = pa.array(np.arange(0, len(ids), 2, dtype=np.int64))
+                    ids = ids.take(half)
+                    ntok = ntok.take(half)
+                    stride *= 2
+            gi += nb
+        yield pa.record_batch(
+            [ids, ntok, pa.array(np.full(len(ids), stride, dtype=np.int64))],
+            names=["doc_id", "n_tok", "weight"])
+
+    return df.select("doc_id", "n_tok").mapInArrow(stage, schema).toPandas()
+
+
 def weighted_repartition(df: DataFrame, partitions: int,
                          seed: int = 42) -> DataFrame:
     """Range-partition by doc_id with TOKEN-MASS-balanced boundaries.
@@ -60,14 +104,13 @@ def weighted_repartition(df: DataFrame, partitions: int,
 
     if partitions <= 1:
         return df.coalesce(1)
-    n = df.count()
-    frac = min(1.0, 50_000.0 * partitions ** 0.5 / max(n, 1))
-    sample = (df.select("doc_id", "n_tok").sample(fraction=frac, seed=seed)
-              .toPandas().sort_values("doc_id"))
+    sample = _plan_sample(df).sort_values("doc_id")
     if len(sample) < partitions:
         return df.repartitionByRange(partitions, "doc_id") \
                  .sortWithinPartitions("doc_id")
-    mass = sample["n_tok"].to_numpy().cumsum()
+    # each sampled row stands for `weight` rows of similar size, so its
+    # token-mass contribution is n_tok * weight
+    mass = (sample["n_tok"].to_numpy() * sample["weight"].to_numpy()).cumsum()
     targets = mass[-1] * (np.arange(1, partitions) / partitions)
     idx = np.searchsorted(mass, targets)
     bounds = sorted(set(sample["doc_id"].to_numpy()[idx].tolist()))
@@ -105,17 +148,18 @@ def weighted_repartition(df: DataFrame, partitions: int,
 
 
 def _wave_boundaries(df: DataFrame, waves: int, seed: int = 42) -> list[str]:
-    """Deterministic doc_id quantile boundaries from a seeded sample."""
+    """Deterministic doc_id quantile boundaries from a single-pass
+    weighted sample (no count job)."""
+    import numpy as np
     if waves <= 1:
         return []
-    sample = (
-        df.select("doc_id").sample(fraction=min(1.0, 20000 * waves / max(df.count(), 1)),
-                                   seed=seed)
-        .toPandas()["doc_id"].sort_values().tolist()
-    )
-    if not sample:
+    sample = _plan_sample(df).sort_values("doc_id")
+    if not len(sample):
         return []
-    return [sample[int(len(sample) * k / waves)] for k in range(1, waves)]
+    w = sample["weight"].to_numpy().cumsum()
+    ids = sample["doc_id"].to_numpy()
+    targets = w[-1] * (np.arange(1, waves) / waves)
+    return [str(ids[i]) for i in np.searchsorted(w, targets)]
 
 
 def encode_corpus(
