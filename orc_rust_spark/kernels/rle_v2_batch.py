@@ -42,6 +42,7 @@ from .util import (
     _ALIGNED_WIDTH_LUT,
     _DECODE_BIT_WIDTH_LUT,
     _ENCODE_BIT_WIDTH_LUT,
+    _ENCODE_BIT_WIDTH_LUT32,
     _FIXED_BITS_LUT,
     I64,
     I64_MAX,
@@ -241,9 +242,17 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
 
     bnd = np.zeros(K, dtype=np.int64)
     np.cumsum(ll[:-1], out=bnd[1:])
-    seg_of = np.repeat(np.arange(K, dtype=np.int64), ll)
-    idx = np.arange(total, dtype=np.int64) - np.repeat(bnd, ll) + np.repeat(la, ll)
-    g = v[idx]
+    # int32 is enough for per-value block ids and positions (blocks are
+    # <=512 values, totals < 2^31) — the index/id arrays are pure memory
+    # traffic, and DRAM bandwidth is the 32-core scaling ceiling
+    seg_of = np.repeat(np.arange(K, dtype=np.int32), ll)
+    # gather by slice-concatenation: ~K small memcpys instead of three
+    # full int64 index arrays (48 MB of traffic per 2M-token stripe)
+    if K == 1:
+        g = np.ascontiguousarray(v[la[0]: la[0] + ll[0]])
+    else:
+        g = np.concatenate([v[a: a + ln]
+                            for a, ln in zip(la.tolist(), ll.tolist())])
     if narrow:
         # zigzag in the u32 domain == low 32 bits of the u64 zigzag for
         # values that fit int32; bit widths and packing agree exactly
@@ -275,22 +284,26 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
 
     d_ge = d >= 0
     d_le = d <= 0
-    dmin_m = d.copy()
-    dmax_m = d.copy()
     d_ge[cross] = True
     d_le[cross] = True
-    dmin_m[cross] = I64_MAX
-    dmax_m[cross] = I64_MIN
+    first_delta = d[bnd].copy()
+    # neutralize boundary-crossing deltas in place (saving two full
+    # int64 copies), restoring d afterwards for the var-delta emission
+    saved_cross = d[cross].copy()
+    d[cross] = I64_MAX
+    dmin = np.minimum.reduceat(d, bnd)
+    d[cross] = I64_MIN
+    dmax = np.maximum.reduceat(d, bnd)
+    d[cross] = saved_cross
 
-    first_delta = d[bnd]
-    dmin = np.minimum.reduceat(dmin_m, bnd)
-    dmax = np.maximum.reduceat(dmax_m, bnd)
     all_ge = np.logical_and.reduceat(d_ge, bnd)
     all_le = np.logical_and.reduceat(d_le, bnd)
 
-    # zigzag bit-width percentile histograms (w90/w100)
-    codesg = _ENCODE_BIT_WIDTH_LUT[bits_used(zzg)]
-    hist = np.bincount(seg_of * 32 + codesg, minlength=K * 32).reshape(K, 32)
+    # zigzag bit-width percentile histograms (w90/w100); int32 keys keep
+    # the bincount operand half-width
+    codesg = _ENCODE_BIT_WIDTH_LUT32[bits_used(zzg)]
+    hist = np.bincount(seg_of * np.int32(32) + codesg,
+                       minlength=K * 32).reshape(K, 32)
     w90 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(hist, _per_len(ll, 0.90))]
     w100 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(hist, np.zeros(K, dtype=np.int64))]
 

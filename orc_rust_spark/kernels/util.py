@@ -46,7 +46,9 @@ def bits_used(values: np.ndarray) -> np.ndarray:
     """
     v = np.asarray(values)
     if v.dtype in (np.uint32, np.uint16, np.uint8):
-        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+        # frexp's exponent output is already int32; keep it narrow (the
+        # result is only used as a LUT index)
+        return np.frexp(v.astype(np.float64))[1]
     v = np.ascontiguousarray(v, dtype=U64)
     bl = np.frexp(v.astype(np.float64))[1].astype(np.int64)
     if v.size == 0 or int(v.max()) < (1 << 53):
@@ -127,6 +129,7 @@ _FIXED_BITS_LUT = np.array(
     [get_closest_fixed_bits(w) for w in range(65)], dtype=np.int64
 )
 _ENCODE_BIT_WIDTH_LUT = np.array([encode_bit_width(w) for w in range(65)], dtype=np.int64)
+_ENCODE_BIT_WIDTH_LUT32 = np.array([encode_bit_width(w) for w in range(65)], dtype=np.int32)
 _DECODE_BIT_WIDTH_LUT = np.array([decode_bit_width(c) for c in range(32)], dtype=np.int64)
 
 
