@@ -80,6 +80,7 @@ T_STRUCT = 13
 T_MAP = 14
 T_LIST_GEN = 15
 T_DECIMAL128 = 16  # aux = (precision << 8) | scale
+T_UNION = 17       # sparse union: TAG byte-RLE + full-length children
 
 # codec codes
 C_RAW = 0
@@ -139,6 +140,8 @@ def _type_code(t: pa.DataType) -> int:
         return T_TIMESTAMP_US
     if pa.types.is_decimal(t):
         return T_DECIMAL128
+    if pa.types.is_union(t):
+        return T_UNION
     raise TypeError(f"unsupported column type: {t}")
 
 
@@ -409,6 +412,28 @@ def _encode_column(name, arr, plan, metas, streams_out) -> None:
             _encode_column(f.name, valid_arr.field(i), ColumnPlan(),
                            metas, streams_out)
         return
+    elif tcode == T_UNION:
+        # sparse union (`src/array_decoder/union.rs:36-163`): a byte-RLE
+        # TAG stream selects among full-length children; arrow unions
+        # carry no validity of their own, matching the reference's
+        # "rely on child arrays" semantics.  Spark has no union type
+        # (SURVEY §1.2) — this is a stripe-format capability for parity,
+        # exercised by direct kernel tests.
+        if valid_arr.type.mode != "sparse":
+            raise TypeError("only sparse unions are supported")
+        aux = valid_arr.type.num_fields
+        tags = np.frombuffer(valid_arr.buffers()[1], dtype=np.int8)[
+            valid_arr.offset: valid_arr.offset + len(valid_arr)]
+        if not set(tags.tolist()) <= set(range(aux)):
+            raise ValueError("union type codes must be 0..n_children-1")
+        streams[K_DATA] = byte_rle_encode(tags)
+        metas.append((name, tcode, has_present, C_BYTE_RLE, aux))
+        streams_out.append(streams)
+        for i in range(aux):
+            f = valid_arr.type.field(i)
+            _encode_column(f.name, valid_arr.field(i), ColumnPlan(),
+                           metas, streams_out)
+        return
     elif tcode in (T_MAP, T_LIST_GEN):
         if tcode == T_MAP:
             t = valid_arr.type
@@ -476,7 +501,7 @@ def encode_stripe(batch: pa.RecordBatch, plans: dict[str, ColumnPlan] | None = N
 def _subtree_size(metas, mi: int) -> int:
     _, tcode, _, _, aux = metas[mi]
     size = 1
-    if tcode == T_STRUCT:
+    if tcode in (T_STRUCT, T_UNION):
         for _ in range(aux):
             size += _subtree_size(metas, mi + size)
     elif tcode in (T_MAP, T_LIST_GEN):
@@ -532,6 +557,19 @@ def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
             children.append(child)
         st = pa.StructArray.from_arrays(children, names)
         return _expand_with_nulls(st, validity, n), mj
+
+    if tcode == T_UNION:
+        tags = byte_rle_decode(stream(K_DATA), n).view(np.int8)
+        children = []
+        names = []
+        mj = mi + 1
+        for _ in range(aux):
+            names.append(metas[mj][0])
+            child, mj = _decode_tree(metas, mj, stream_for, n)
+            children.append(child)
+        arr = pa.UnionArray.from_sparse(pa.array(tags, pa.int8()), children,
+                                        field_names=names)
+        return arr, mj
 
     if tcode in (T_MAP, T_LIST_GEN):
         row_lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)

@@ -93,3 +93,37 @@ def test_spark_relation_roundtrip_struct_and_map(spark):
                 tuple(sorted(r.m.items())) if r.m is not None else None,
                 tuple(r.v) if r.v is not None else None)
     assert sorted(map(norm, rt.collect())) == sorted(map(norm, df.collect()))
+
+
+def test_union_sparse_roundtrip():
+    """Sparse union (`src/array_decoder/union.rs:36-163` analog): TAG
+    byte-RLE stream + full-length children; no Spark type exists
+    (SURVEY §1.2) so this is a stripe-format capability exercised at
+    the kernel level."""
+    import numpy as np
+    import pyarrow as pa
+    from orc_rust_spark.stripes import decode_stripe, encode_stripe
+
+    n = 10_000
+    rng = np.random.default_rng(4)
+    tags = rng.integers(0, 2, n).astype(np.int8)
+    ints = pa.array(rng.integers(0, 1000, n))
+    strs = pa.array([f"s{i}" if i % 5 else None for i in range(n)])
+    union = pa.UnionArray.from_sparse(pa.array(tags, pa.int8()), [ints, strs],
+                                      field_names=["num", "txt"])
+    batch = pa.record_batch([pa.array(np.arange(n)), union], names=["k", "u"])
+    blob = encode_stripe(batch)
+    out = decode_stripe(blob)
+    u = out.column("u")
+    assert pa.types.is_union(u.type)
+    got_tags = np.frombuffer(u.buffers()[1], np.int8)[:n]
+    assert np.array_equal(got_tags, tags)
+    assert u.field(0).to_pylist() == ints.to_pylist()
+    assert u.field(1).to_pylist() == strs.to_pylist()
+    # per-row selected value follows the tag
+    for i in rng.integers(0, n, 25):
+        exp = ints[int(i)].as_py() if tags[i] == 0 else strs[int(i)].as_py()
+        assert u[int(i)].as_py() == exp
+    # projection must skip the whole union subtree
+    proj = decode_stripe(blob, columns=["k"])
+    assert proj.schema.names == ["k"]
