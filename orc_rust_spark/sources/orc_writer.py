@@ -3,42 +3,62 @@ the `ArrowWriter` surface of the reference (`src/arrow_writer.rs:90-155`,
 `src/writer/stripe.rs:82-171`) re-expressed against the public ORC spec.
 
 Files produced here are read back by BOTH pyarrow's C++ ORC reader and
-our `orc_reader.py` (cross-checked in `tests/test_orc_interop.py`), so
+our `orc_reader.py` (cross-checked in `tests/test_orc_writer.py`), so
 an orc-rust user's write path has a drop-in equivalent: Arrow batches
 in, spec-compliant `.orc` out, with the same kernel encodings the
 reference writer picks (`src/writer/stripe.rs:173-189`): ints RLEv2
 DirectV2, int8 byte-RLE, bool bit-RLE, floats IEEE direct, strings
-DirectV2 DATA+LENGTH, PRESENT bit-RLE only when a column has nulls.
+DirectV2 (or DictionaryV2 when a sampled cardinality check pays),
+decimals as varint mantissas + RLEv2 scales, timestamps as the
+two-stream 2015-epoch layout, nested struct/list/map as parent
+PRESENT + child columns, PRESENT bit-RLE only when a column has nulls.
 
-Scope: flat schemas (the types our Spark pipeline emits); NONE or zlib
-chunked compression; one stripe per `write_batch` call.
+Compression: NONE or chunked zlib; one stripe per `write_batch` call.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels.boolean import boolean_encode
 from ..kernels.byte_rle import byte_rle_encode
 from ..kernels.compression import compress_stream
 from ..kernels.float_codec import float_encode
 from ..kernels.rle_v2 import rle_v2_encode
+from ..kernels.timestamp_decimal import decimal_encode, timestamp_encode
 
 # proto enums (format/orc_proto.proto; public spec)
-K_PRESENT, K_DATA, K_LENGTH = 0, 1, 2
-ENC_DIRECT, ENC_DIRECT_V2 = 0, 2
+K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY = 0, 1, 2, 3, 5
+ENC_DIRECT, ENC_DICT, ENC_DIRECT_V2, ENC_DICT_V2 = 0, 1, 2, 3
 (TK_BOOL, TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_FLOAT, TK_DOUBLE,
  TK_STRING, TK_BINARY, TK_TIMESTAMP, TK_LIST, TK_MAP, TK_STRUCT,
  TK_UNION, TK_DECIMAL, TK_DATE) = range(16)
 
-_PA_TO_ORC = {
+_PA_SCALAR_TO_ORC = {
     pa.bool_(): TK_BOOL, pa.int8(): TK_BYTE, pa.int16(): TK_SHORT,
     pa.int32(): TK_INT, pa.int64(): TK_LONG, pa.float32(): TK_FLOAT,
     pa.float64(): TK_DOUBLE, pa.string(): TK_STRING,
     pa.large_string(): TK_STRING, pa.binary(): TK_BINARY,
     pa.date32(): TK_DATE,
 }
+
+
+def _orc_kind(t: pa.DataType) -> int:
+    if t in _PA_SCALAR_TO_ORC:
+        return _PA_SCALAR_TO_ORC[t]
+    if pa.types.is_timestamp(t):
+        return TK_TIMESTAMP
+    if pa.types.is_decimal(t):
+        return TK_DECIMAL
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return TK_LIST
+    if pa.types.is_map(t):
+        return TK_MAP
+    if pa.types.is_struct(t):
+        return TK_STRUCT
+    raise TypeError(f"orc_writer does not support column type {t}")
 
 
 # ---------------------------------------------------------------------------
@@ -68,52 +88,164 @@ def _pb_field_bytes(out: bytearray, field: int, data: bytes) -> None:
 
 
 # ---------------------------------------------------------------------------
+# type tree (flat preorder, root struct = column 0)
+# ---------------------------------------------------------------------------
+
+def _build_types(schema: pa.Schema):
+    """-> list of (kind, subtypes, field_names, pa_type) in preorder."""
+    types: list = []
+
+    def add(t: pa.DataType) -> int:
+        cid = len(types)
+        kind = _orc_kind(t)
+        entry = [kind, [], [], t]
+        types.append(entry)
+        if kind == TK_STRUCT:
+            for i in range(t.num_fields):
+                f = t.field(i)
+                entry[2].append(f.name)
+                entry[1].append(add(f.type))
+        elif kind == TK_LIST:
+            entry[1].append(add(t.value_type))
+        elif kind == TK_MAP:
+            entry[1].append(add(t.key_type))
+            entry[1].append(add(t.item_type))
+        return cid
+
+    root = [TK_STRUCT, [], [], None]
+    types.append(root)
+    for f in schema:
+        root[2].append(f.name)
+        root[1].append(add(f.type))
+    return types
+
+
+# ---------------------------------------------------------------------------
 # column stream encoding (one stripe)
 # ---------------------------------------------------------------------------
 
-def _encode_orc_column(arr: pa.Array) -> tuple[int, list[tuple[int, bytes]]]:
-    """-> (orc_type_kind, [(stream_kind, bytes)...]); DirectV2 throughout."""
-    t = arr.type
-    if t not in _PA_TO_ORC:
-        raise TypeError(f"orc_writer does not support column type {t}")
-    kind = _PA_TO_ORC[t]
-    streams: list[tuple[int, bytes]] = []
+def _binary_parts(valid: pa.Array):
+    lb = valid.cast(pa.large_binary())
+    n = len(lb)
+    if not n:
+        return b"", np.empty(0, dtype=np.int64)
+    offs = np.frombuffer(lb.buffers()[1], dtype=np.int64)
+    offs = offs[lb.offset: lb.offset + n + 1]
+    dbuf = lb.buffers()[2]
+    blob = bytes(memoryview(dbuf)[offs[0]: offs[-1]]) if dbuf else b""
+    return blob, np.diff(offs)
+
+
+def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
+                 parent_valid=None) -> None:
+    """Emit streams for column `cid` and recurse into children.
+
+    ORC stores child values only for rows where the parent is present,
+    so nested recursion filters by the parent's validity first."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    kind = types[cid][0]
+    enc = ENC_DIRECT_V2
     if arr.null_count:
         validity = np.asarray(arr.is_valid())
-        streams.append((K_PRESENT, boolean_encode(validity)))
+        out_streams.append((cid, K_PRESENT, boolean_encode(validity)))
         valid = arr.drop_null()
     else:
+        validity = None
         valid = arr
 
-    if kind == TK_BOOL:
+    if kind == TK_STRUCT:
+        enc = ENC_DIRECT
+        for sub, i in zip(types[cid][1], range(len(types[cid][1]))):
+            child = valid.field(i) if cid != 0 else arr.field(i)
+            _encode_tree(child, sub, types, out_streams, encodings)
+    elif kind == TK_LIST:
+        lv = valid.cast(pa.large_list(valid.type.value_type)) \
+            if pa.types.is_list(valid.type) else valid
+        lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        out_streams.append((cid, K_LENGTH,
+                            rle_v2_encode(lengths, signed=False, interop=True)))
+        _encode_tree(lv.flatten(), types[cid][1][0], types, out_streams,
+                     encodings)
+    elif kind == TK_MAP:
+        t = valid.type
+        lv = valid.cast(pa.list_(pa.struct([("key", t.key_type),
+                                            ("value", t.item_type)])))
+        lengths = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        out_streams.append((cid, K_LENGTH,
+                            rle_v2_encode(lengths, signed=False, interop=True)))
+        entries = lv.flatten()
+        _encode_tree(entries.field(0), types[cid][1][0], types, out_streams,
+                     encodings)
+        _encode_tree(entries.field(1), types[cid][1][1], types, out_streams,
+                     encodings)
+    elif kind == TK_BOOL:
+        enc = ENC_DIRECT
         vals = valid.to_numpy(zero_copy_only=False).astype(bool)
-        streams.append((K_DATA, boolean_encode(vals)))
+        out_streams.append((cid, K_DATA, boolean_encode(vals)))
     elif kind == TK_BYTE:
+        enc = ENC_DIRECT
         vals = valid.to_numpy(zero_copy_only=False).astype(np.int8)
-        streams.append((K_DATA, byte_rle_encode(vals)))
+        out_streams.append((cid, K_DATA, byte_rle_encode(vals)))
     elif kind in (TK_SHORT, TK_INT, TK_LONG, TK_DATE):
         if kind == TK_DATE:
             valid = valid.cast(pa.int32())
         vals = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        streams.append((K_DATA, rle_v2_encode(vals, signed=True, interop=True)))
+        out_streams.append((cid, K_DATA,
+                            rle_v2_encode(vals, signed=True, interop=True)))
     elif kind in (TK_FLOAT, TK_DOUBLE):
+        enc = ENC_DIRECT
         dt = np.float32 if kind == TK_FLOAT else np.float64
         vals = valid.to_numpy(zero_copy_only=False).astype(dt)
-        streams.append((K_DATA, float_encode(vals)))
+        out_streams.append((cid, K_DATA, float_encode(vals)))
+    elif kind == TK_DECIMAL:
+        from ..stripes import _decimal_mantissas
+        t = valid.type
+        data, sec = decimal_encode(_decimal_mantissas(valid), t.scale)
+        out_streams.append((cid, K_DATA, data))
+        out_streams.append((cid, K_SECONDARY, sec))
+    elif kind == TK_TIMESTAMP:
+        us = valid.cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        data, sec = timestamp_encode(us * np.int64(1000))
+        out_streams.append((cid, K_DATA, data))
+        out_streams.append((cid, K_SECONDARY, sec))
     elif kind in (TK_STRING, TK_BINARY):
-        lb = valid.cast(pa.large_binary())
-        n = len(lb)
-        if n:
-            offs = np.frombuffer(lb.buffers()[1], dtype=np.int64)
-            offs = offs[lb.offset: lb.offset + n + 1]
-            dbuf = lb.buffers()[2]
-            blob = bytes(memoryview(dbuf)[offs[0]: offs[-1]]) if dbuf else b""
-            lengths = np.diff(offs)
-        else:
-            blob, lengths = b"", np.empty(0, dtype=np.int64)
-        streams.append((K_DATA, blob))
-        streams.append((K_LENGTH, rle_v2_encode(lengths, signed=False, interop=True)))
-    return kind, streams
+        n = len(valid)
+        use_dict = False
+        if kind == TK_STRING and n > 64:
+            step = max(n // 1024, 1)
+            sample = valid.take(np.arange(0, n, step))
+            use_dict = len(sample.unique()) <= max(len(sample) // 2, 1)
+        if use_dict:
+            enc = ENC_DICT_V2
+            dct = valid.dictionary_encode()
+            uniq = dct.dictionary.cast(pa.binary()).to_pylist()
+            order = np.argsort(np.array(uniq, dtype=object))
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            indices = rank[dct.indices.to_numpy(zero_copy_only=False)
+                           .astype(np.int64)]
+            sorted_uniq = [uniq[i] for i in order]
+            dict_blob = b"".join(sorted_uniq)
+            dict_lengths = np.fromiter((len(u) for u in sorted_uniq),
+                                       dtype=np.int64, count=len(sorted_uniq))
+            out_streams.append((cid, K_DATA,
+                                rle_v2_encode(indices, signed=False,
+                                              interop=True)))
+            out_streams.append((cid, K_LENGTH,
+                                rle_v2_encode(dict_lengths, signed=False,
+                                              interop=True)))
+            out_streams.append((cid, K_DICT_DATA, dict_blob))
+            encodings[cid] = (enc, len(sorted_uniq))
+            return
+        blob, lengths = _binary_parts(valid)
+        out_streams.append((cid, K_DATA, blob))
+        out_streams.append((cid, K_LENGTH,
+                            rle_v2_encode(lengths, signed=False, interop=True)))
+    else:
+        raise TypeError(f"unsupported ORC kind {kind}")
+    encodings[cid] = (enc, 0)
 
 
 class OrcWriter:
@@ -121,9 +253,7 @@ class OrcWriter:
 
     def __init__(self, path: str, schema: pa.Schema, compression: int = 0,
                  block_size: int = 256 * 1024):
-        for f in schema:
-            if f.type not in _PA_TO_ORC:
-                raise TypeError(f"unsupported ORC writer type {f.type}")
+        self.types = _build_types(schema)  # validates types up front
         self.path = path
         self.schema = schema
         self.compression = compression
@@ -131,7 +261,7 @@ class OrcWriter:
         self._f = open(path, "wb")
         self._f.write(b"ORC")
         self._offset = 3
-        self._stripes: list[tuple[int, int, int, int]] = []  # off, dlen, flen, rows
+        self._stripes: list[tuple[int, int, int, int]] = []
         self._n_rows = 0
 
     def _wrap(self, raw: bytes) -> bytes:
@@ -142,34 +272,28 @@ class OrcWriter:
     def write_batch(self, batch: pa.RecordBatch) -> None:
         if batch.num_rows == 0:
             return
-        col_streams: list[list[tuple[int, bytes]]] = []
-        for i in range(batch.num_columns):
-            _, streams = _encode_orc_column(batch.column(i))
-            col_streams.append([(k, self._wrap(s)) for k, s in streams])
+        streams: list[tuple[int, int, bytes]] = []
+        encodings: dict[int, tuple[int, int]] = {0: (ENC_DIRECT, 0)}
+        for i, sub in enumerate(self.types[0][1]):
+            _encode_tree(batch.column(i), sub, self.types, streams, encodings)
+        streams.sort(key=lambda s: (s[0], s[1]))
 
         foot = bytearray()
         data = bytearray()
-        # root struct column 0 carries no streams; children are 1..n
-        for ci, streams in enumerate(col_streams):
-            for skind, s in streams:
-                entry = bytearray()
-                _pb_field_varint(entry, 1, skind)
-                _pb_field_varint(entry, 2, ci + 1)
-                _pb_field_varint(entry, 3, len(s))
-                _pb_field_bytes(foot, 1, bytes(entry))
-                data += s
-        # per-column encodings: root struct and non-RLEv2 codecs are
-        # DIRECT; RLEv2-backed columns (ints, strings, binary lengths,
-        # dates) are DIRECT_V2 (`src/writer/mod.rs:60-93`)
-        encodings = [ENC_DIRECT]  # root struct
-        for f in self.schema:
-            k = _PA_TO_ORC[f.type]
-            encodings.append(
-                ENC_DIRECT if k in (TK_BOOL, TK_BYTE, TK_FLOAT, TK_DOUBLE)
-                else ENC_DIRECT_V2)
-        for e in encodings:
+        for cid, skind, s in streams:
+            s = self._wrap(s)
+            entry = bytearray()
+            _pb_field_varint(entry, 1, skind)
+            _pb_field_varint(entry, 2, cid)
+            _pb_field_varint(entry, 3, len(s))
+            _pb_field_bytes(foot, 1, bytes(entry))
+            data += s
+        for cid in range(len(self.types)):
+            e, dict_size = encodings.get(cid, (ENC_DIRECT, 0))
             enc = bytearray()
             _pb_field_varint(enc, 1, e)
+            if dict_size:
+                _pb_field_varint(enc, 2, dict_size)
             _pb_field_bytes(foot, 2, bytes(enc))
         _pb_field_bytes(foot, 3, b"UTC")  # writerTimezone
         foot_w = self._wrap(bytes(foot))
@@ -193,17 +317,16 @@ class OrcWriter:
             _pb_field_varint(si, 4, flen)
             _pb_field_varint(si, 5, rows)
             _pb_field_bytes(footer, 3, bytes(si))
-        # type tree: root struct + flat children
-        root = bytearray()
-        _pb_field_varint(root, 1, TK_STRUCT)
-        for i in range(len(self.schema)):
-            _pb_field_varint(root, 2, i + 1)  # subtypes (unpacked ok)
-        for f in self.schema:
-            _pb_field_bytes(root, 3, f.name.encode())
-        _pb_field_bytes(footer, 4, bytes(root))
-        for f in self.schema:
+        for kind, subtypes, names, t in self.types:
             tmsg = bytearray()
-            _pb_field_varint(tmsg, 1, _PA_TO_ORC[f.type])
+            _pb_field_varint(tmsg, 1, kind)
+            for s in subtypes:
+                _pb_field_varint(tmsg, 2, s)
+            for nm in names:
+                _pb_field_bytes(tmsg, 3, nm.encode())
+            if kind == TK_DECIMAL:
+                _pb_field_varint(tmsg, 5, t.precision)
+                _pb_field_varint(tmsg, 6, t.scale)
             _pb_field_bytes(footer, 4, bytes(tmsg))
         _pb_field_varint(footer, 6, self._n_rows)
         _pb_field_varint(footer, 8, 0)  # rowIndexStride: no row index

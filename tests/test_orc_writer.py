@@ -87,3 +87,45 @@ def test_write_empty_and_tiny(tmp_path):
     path2 = str(tmp_path / "one.orc")
     write_orc(path2, one)
     _assert_tables_equal(po.ORCFile(path2).read(), one, "one")
+
+
+def _check(tmp_path, tbl, name, comp=1):
+    path = str(tmp_path / f"{name}.orc")
+    write_orc(path, tbl, compression=comp, stripe_rows=8192)
+    _assert_tables_equal(po.ORCFile(path).read(), tbl, f"{name}:pyarrow")
+    _assert_tables_equal(read_orc(path), tbl, f"{name}:own")
+
+
+def test_write_dictionary_strings(tmp_path):
+    n = 20_000
+    _check(tmp_path, pa.table({
+        "cat": pa.array([["web", "code", "books", "wiki"][i % 4]
+                         for i in range(n)])}), "dict")
+
+
+def test_write_decimal_timestamp(tmp_path):
+    import datetime
+    n = 20_000
+    _check(tmp_path, pa.table({
+        "dec": pa.array([i - 500 for i in range(n)], pa.decimal128(12, 2)),
+        "ts": pa.array([datetime.datetime(2020, 1, 1)
+                        + datetime.timedelta(microseconds=i * 1000003)
+                        for i in range(n)], pa.timestamp("us")),
+    }), "dec_ts")
+
+
+def test_write_nested(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    _check(tmp_path, pa.table({
+        "l": pa.array([[int(x) for x in rng.integers(0, 100, i % 7)]
+                       if i % 11 else None for i in range(n)],
+                      pa.list_(pa.int32())),
+        "st": pa.array([{"a": int(i), "b": f"x{i}"} if i % 13 else None
+                        for i in range(n)],
+                       pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "m": pa.array([[("k", int(i)), ("j", int(i * 2))] if i % 3 else None
+                       for i in range(n)], pa.map_(pa.string(), pa.int64())),
+        "ls": pa.array([[{"q": int(i)}] * (i % 4) for i in range(n)],
+                       pa.list_(pa.struct([("q", pa.int64())]))),
+    }), "nested")
