@@ -592,6 +592,33 @@ _TS2_ORACLE = ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
                "FROM events")
 
 
+def q_roundtrip_orc_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full real-ORC interop through Spark: write lineitem as `.orc`
+    files with the distributed sink (one file per partition, chunked
+    zlib), read them back with the distributed source, and compare
+    values against DuckDB on the original parquet.  This exercises the
+    writer's protobuf tail, RLEv2/string/timestamp streams, and the
+    reader's stripe walk end-to-end at the DataFrame level — the
+    `ArrowWriter` -> `ArrowReader` loop of the reference as one query."""
+    import tempfile
+    from .sources.orc_spark import read_orc_spark, write_orc_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc_spark(li.repartition(4), out, compression=1).collect()
+    rt = read_orc_spark(spark, out)
+    return rt.select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"))
+
+
+_ORC_FILE_ORACLE = (
+    "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag, "
+    "CAST(epoch_us(l_shipdate) AS BIGINT) AS ship_us FROM lineitem"
+)
+
+
 def q_decode_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-stripe row-group pruning (`src/row_group_filter.rs:51-118`
     analog): stripes carry per-10k-row per-column min/max; decode skips
@@ -691,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_ts2"] = q_roundtrip_ts2
     q["roundtrip_compressed"] = q_roundtrip_compressed
     q["decode_rowgroup_pruned"] = q_decode_rowgroup_pruned
+    q["roundtrip_orc_file"] = q_roundtrip_orc_file
     q["roundtrip_tokens"] = q_roundtrip_tokens
     q["tokens_projection"] = q_tokens_projection
     q["decode_pruned"] = q_decode_pruned
@@ -723,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_ts2"] = _TS2_ORACLE
     o["roundtrip_compressed"] = _TOKENS_ORACLE_BASE
     o["decode_rowgroup_pruned"] = _ROWGROUP_ORACLE
+    o["roundtrip_orc_file"] = _ORC_FILE_ORACLE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
     o["tokens_projection"] = \
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents"

@@ -1,0 +1,141 @@
+"""Distributed ORC source/sink on Spark: the reference's
+`ArrowReader`/`ArrowWriter` surface exposed as DataFrame operators,
+backed by the kernel-level `orc_reader.py` / `orc_writer.py`.
+
+Read path: files are listed on the driver (cheap metadata-only tail
+parse), distributed one-file-per-task with the same exact-layout range
+partitioning as the parquet scan, and decoded to Arrow inside the
+worker — no JVM ORC dependency, no row-format round-trip.  At scale the
+parallelism unit is the file (stripe-granular splitting would follow
+the same `_task_plan` shape).
+
+Write path: each partition writes one `.orc` file (one stripe per
+Arrow batch group) and emits a manifest row (path, rows, bytes) — the
+same sink-with-lineage shape as the stripe pipeline, so a writer
+failure leaves only uncommitted part files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.types as T
+
+from ..operators.decode import spark_schema_for
+from .orc_reader import read_metadata, read_orc
+from .orc_writer import OrcWriter, _build_types  # noqa: F401 (validation)
+
+_ORC_TO_PA = None  # schema derived per file via read_orc
+
+
+def read_orc_spark(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed read of a dir of `.orc` files (or a single file)."""
+    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
+        if os.path.isdir(path) else [path]
+    if not files:
+        raise ValueError(f"no .orc files under {path}")
+    # schema from the first file (cheap: one-file read of the tail +
+    # first stripe would suffice; read_orc of file 0 keeps it simple and
+    # correct for heterogenous-stripe files)
+    probe = _normalize(read_orc(files[0]))
+    out_schema = spark_schema_for(probe.schema)
+
+    plan = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)],
+        T.StructType([T.StructField("tid", T.IntegerType()),
+                      T.StructField("file", T.StringType())]),
+    ).repartitionByRange(len(files), "tid")
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for f in b.column("file").to_pylist():
+                tbl = _normalize(read_orc(f))
+                yield from tbl.to_batches()
+
+    return plan.mapInArrow(scan, out_schema)
+
+
+def _normalize(tbl: pa.Table) -> pa.Table:
+    """ORC timestamps are ns-precision; Spark's Arrow bridge wants µs."""
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us")))
+            changed = True
+        else:
+            fields.append(f)
+    return tbl.cast(pa.schema(fields)) if changed else tbl
+
+
+ORC_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+
+def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
+                    stripe_rows: int = 65536) -> DataFrame:
+    """Write a DataFrame as one `.orc` file per partition; returns the
+    manifest DataFrame (materialize it to run the write)."""
+    os.makedirs(out_dir, exist_ok=True)
+    run_id = uuid.uuid4().hex[:8]
+
+    def sink(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        writer = None
+        path = os.path.join(out_dir, f"part-{pid:05d}-{run_id}.orc")
+        n = 0
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal pending, pending_rows
+            tbl = pa.Table.from_batches(pending).combine_chunks()
+            for b in tbl.to_batches(max_chunksize=stripe_rows):
+                writer.write_batch(b)
+            pending, pending_rows = [], 0
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if writer is None:
+                writer = OrcWriter(path, b.schema, compression)
+            pending.append(b)
+            pending_rows += b.num_rows
+            n += b.num_rows
+            if pending_rows >= stripe_rows:
+                flush()
+        if writer is None:
+            return
+        if pending:
+            flush()
+        writer.close()
+        yield pa.record_batch(
+            [pa.array([path]), pa.array([n], pa.int64()),
+             pa.array([os.path.getsize(path)], pa.int64())],
+            names=["path", "n_rows", "n_bytes"])
+
+    return df.mapInArrow(sink, ORC_MANIFEST_SCHEMA)
+
+
+def orc_file_stats(path: str) -> dict:
+    """Driver-side metadata summary of an `.orc` file (tail parse only —
+    the `orc-metadata` CLI analog)."""
+    meta = read_metadata(path)
+    return {
+        "compression": meta.compression,
+        "n_stripes": len(meta.stripes),
+        "n_rows": sum(s["n_rows"] for s in meta.stripes),
+        "columns": meta.field_names,
+        "stripe_rows": [s["n_rows"] for s in meta.stripes],
+    }

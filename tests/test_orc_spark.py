@@ -1,0 +1,69 @@
+"""Distributed ORC source/sink (`sources/orc_spark.py`): the reference
+ArrowWriter/ArrowReader surface at the DataFrame level."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+po = pytest.importorskip("pyarrow.orc")
+
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+from orc_rust_spark.sources.orc_spark import (
+    orc_file_stats,
+    read_orc_spark,
+    write_orc_spark,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .getOrCreate())
+    yield s
+
+
+def test_write_read_roundtrip_spark(spark, tmp_path):
+    out = str(tmp_path / "orc_out")
+    src = spark.read.parquet(f"{SF}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    manifest = write_orc_spark(src.repartition(3), out, compression=1).collect()
+    assert sum(m.n_rows for m in manifest) == src.count()
+    files = sorted(glob.glob(out + "/*.orc"))
+    assert len(files) == 3
+    # pyarrow's independent reader accepts every part file
+    assert sum(po.ORCFile(f).read().num_rows for f in files) == src.count()
+    rt = read_orc_spark(spark, out)
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in rt.select(*src.columns).collect()}
+    assert a == b
+
+
+def test_orc_file_stats(spark, tmp_path):
+    out = str(tmp_path / "orc_stats")
+    src = spark.read.parquet(f"{SF}/region.parquet")
+    write_orc_spark(src.coalesce(1), out, compression=0,
+                    stripe_rows=2).collect()
+    f = glob.glob(out + "/*.orc")[0]
+    st = orc_file_stats(f)
+    assert st["n_rows"] == src.count()
+    assert st["compression"] == 0
+    assert st["n_stripes"] >= 2  # stripe_rows=2 forces multiple stripes
+    assert set(st["columns"]) == set(src.columns)
+
+
+def test_read_pushes_projection_through_select(spark, tmp_path):
+    out = str(tmp_path / "orc_proj")
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    write_orc_spark(src.coalesce(1), out).collect()
+    rt = read_orc_spark(spark, out).select("n_name")
+    names = {r.n_name for r in rt.collect()}
+    assert {r.n_name for r in src.select("n_name").collect()} == names
