@@ -684,6 +684,49 @@ def q_roundtrip_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "n_tok", "source")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (training-data dedup):
+    LSH-bucketed candidates + exact cosine confirm.  At gate params the
+    OR-amplified tables have collision probability ~1.0 for pairs at
+    the 0.4 threshold, so the exact all-pairs SQL is the oracle
+    (verified pair-for-pair at sf0.001/0.01/0.1)."""
+    from .operators.similarity import embedding_near_dup
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+def sql_embedding_near_dup(sp: bool) -> str:
+    if sp:
+        dot = ("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+               "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        na = "sqrt(aggregate(a.v, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        nb = "sqrt(aggregate(b.v, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        cast_arr = "CAST(embedding AS ARRAY<DOUBLE>)"
+    else:
+        dot = "list_dot_product(a.v, b.v)"
+        na = "sqrt(list_dot_product(a.v, a.v))"
+        nb = "sqrt(list_dot_product(b.v, b.v))"
+        cast_arr = "CAST(embedding AS DOUBLE[])"
+    return (
+        f"WITH e AS (SELECT vec_id, {cast_arr} AS v FROM embeddings) "
+        f"SELECT a.vec_id AS ida, b.vec_id AS idb FROM e a JOIN e b "
+        f"ON a.vec_id < b.vec_id WHERE {dot} / ({na} * {nb}) >= 0.4"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN gate: with nprobe == n_centroids every cell is probed, so
+    the candidate set is complete and the exact top-k SQL is a valid
+    value-level oracle for the full IVF plumbing (quantizer training,
+    cell assignment, co-partitioned candidate join, re-rank).  Recall
+    at realistic nprobe (< n_centroids) is asserted separately in
+    tests/test_similarity_multimodal.py."""
+    from .operators.similarity import ann_ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5,
+                        n_centroids=16, nprobe=16)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: LSH bucket join + exact re-rank.  Gate params
     (48 tables x 3 hyperplanes, OR-amplified) give recall 1.0 at every
@@ -733,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = _sql_query(sql_simhash, ["documents"])
     q["embedding_topk"] = _sql_query(sql_embedding_topk, ["embeddings"])
     q["ann_lsh_topk"] = q_ann_lsh_topk
+    q["ann_ivf_topk"] = q_ann_ivf_topk
+    q["embedding_near_dup"] = q_embedding_near_dup
     q["multimodal_features"] = q_multimodal_features
     q["frame_sample"] = q_frame_sample
     q["events_json"] = _sql_query(sql_events_json, ["events"])
@@ -771,6 +816,8 @@ def oracle_sql() -> dict[str, str]:
     # ANN gate params are chosen for recall 1.0 (see q_ann_lsh_topk), so
     # the exact cosine top-k is a valid value-level oracle
     o["ann_lsh_topk"] = sql_embedding_topk(False)
+    o["ann_ivf_topk"] = sql_embedding_topk(False)
+    o["embedding_near_dup"] = sql_embedding_near_dup(False)
     o["multimodal_features"] = _MULTIMODAL_ORACLE
     o["frame_sample"] = _FRAME_ORACLE
     o["events_json"] = sql_events_json(False)

@@ -70,3 +70,37 @@ def test_frame_sampling_covers_payload(spark):
         assert bytes(r.frame) == bytes(src[r.doc_id])[r.frame_idx * 16:
                                                       (r.frame_idx + 1) * 16]
         assert r.frame_idx % 2 == 0
+
+
+def test_ann_ivf_recall_and_exactness(spark):
+    from orc_rust_spark.operators.similarity import ann_ivf_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.qid, r.nid, r.rank) for r in cosine_topk(emb, q, k=5).collect()}
+    # realistic nprobe: partial scan, decent recall
+    part = {(r.qid, r.nid, r.rank)
+            for r in ann_ivf_topk(emb, q, k=5, n_centroids=16, nprobe=12).collect()}
+    recall = len({(a, b) for a, b, _ in part} & {(a, b) for a, b, _ in exact}) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # gate params: every cell probed -> must equal exact incl. ranks
+    full = {(r.qid, r.nid, r.rank)
+            for r in ann_ivf_topk(emb, q, k=5, n_centroids=16, nprobe=16).collect()}
+    assert full == exact
+
+
+def test_embedding_near_dup_matches_exact(spark):
+    import itertools
+    import numpy as np
+    from orc_rust_spark.operators.similarity import embedding_near_dup
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.ida, r.idb) for r in embedding_near_dup(emb, 0.4).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = [r.vec_id for r in rows]
+    sims = m @ m.T
+    exp = set()
+    for i, j in zip(*np.nonzero(sims >= 0.4)):
+        if ids[i] < ids[j]:
+            exp.add((ids[i], ids[j]))
+    assert got == exp
