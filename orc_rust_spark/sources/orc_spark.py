@@ -31,7 +31,6 @@ from ..operators.decode import spark_schema_for
 from .orc_reader import read_metadata, read_orc
 from .orc_writer import OrcWriter, _build_types  # noqa: F401 (validation)
 
-_ORC_TO_PA = None  # schema derived per file via read_orc
 
 
 def read_orc_spark(spark: SparkSession, path: str) -> DataFrame:

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..kernels.boolean import boolean_encode
 from ..kernels.byte_rle import byte_rle_encode

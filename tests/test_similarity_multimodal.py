@@ -89,7 +89,6 @@ def test_ann_ivf_recall_and_exactness(spark):
 
 
 def test_embedding_near_dup_matches_exact(spark):
-    import itertools
     import numpy as np
     from orc_rust_spark.operators.similarity import embedding_near_dup
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
