@@ -94,13 +94,45 @@ def _one(msg: dict, field: int, default=0):
 # tail / metadata
 # ---------------------------------------------------------------------------
 
+def _zz(v: int) -> int:
+    """protobuf sint64 zigzag decode (Integer statistics min/max)."""
+    return (v >> 1) ^ -(v & 1)
+
+
+def _parse_col_stats(raw: bytes) -> tuple | None:
+    """ColumnStatistics -> (min, max) for int/double/string/date columns,
+    None when the type has no usable range statistics."""
+    cs = _pb_parse(raw)
+    if 2 in cs:  # IntegerStatistics (sint64 zigzag)
+        s = _pb_parse(cs[2][0])
+        if 1 in s and 2 in s:
+            return (_zz(_one(s, 1)), _zz(_one(s, 2)))
+    if 3 in cs:  # DoubleStatistics (64-bit doubles)
+        import struct
+        s = _pb_parse(cs[3][0])
+        if 1 in s and 2 in s:
+            return (struct.unpack("<d", s[1][0].to_bytes(8, "little"))[0],
+                    struct.unpack("<d", s[2][0].to_bytes(8, "little"))[0])
+    if 4 in cs:  # StringStatistics
+        s = _pb_parse(cs[4][0])
+        if 1 in s and 2 in s:
+            return (s[1][0].decode(), s[2][0].decode())
+    if 7 in cs:  # DateStatistics (sint32 days)
+        s = _pb_parse(cs[7][0])
+        if 1 in s and 2 in s:
+            return (_zz(_one(s, 1)), _zz(_one(s, 2)))
+    return None
+
+
 class OrcMeta:
     def __init__(self, compression: int, types: list[dict], stripes: list[dict],
-                 field_names: list[str]):
+                 field_names: list[str], stripe_stats: list[dict] | None = None):
         self.compression = compression
         self.types = types
         self.stripes = stripes
         self.field_names = field_names
+        # per stripe: {column_id: (min, max)} from the Metadata section
+        self.stripe_stats = stripe_stats or []
 
 
 def read_metadata(path: str) -> OrcMeta:
@@ -110,10 +142,26 @@ def read_metadata(path: str) -> OrcMeta:
     ps = _pb_parse(data[-1 - ps_len: -1])
     footer_len = _one(ps, 1)
     compression = _one(ps, 2)  # 0 none, 1 zlib, 2 snappy, 3 lzo, 4 lz4, 5 zstd
+    meta_len = _one(ps, 5)
     footer_raw = data[-1 - ps_len - footer_len: -1 - ps_len]
     if compression:
         footer_raw = decompress_stream(footer_raw, compression)
     footer = _pb_parse(footer_raw)
+    stripe_stats: list[dict] = []
+    if meta_len:
+        meta_raw = data[-1 - ps_len - footer_len - meta_len:
+                        -1 - ps_len - footer_len]
+        if compression:
+            meta_raw = decompress_stream(meta_raw, compression)
+        metadata = _pb_parse(meta_raw)
+        for ss_raw in metadata.get(1, []):  # repeated StripeStatistics
+            ss = _pb_parse(ss_raw)
+            col_ranges = {}
+            for cid, cs_raw in enumerate(ss.get(1, [])):
+                rng = _parse_col_stats(cs_raw)
+                if rng is not None:
+                    col_ranges[cid] = rng
+            stripe_stats.append(col_ranges)
     types = []
     for traw in footer.get(4, []):
         t = _pb_parse(traw)
@@ -133,7 +181,8 @@ def read_metadata(path: str) -> OrcMeta:
             "n_rows": _one(s, 5),
         })
     root = types[0] if types else {"field_names": []}
-    return OrcMeta(compression, types, stripes, root["field_names"])
+    return OrcMeta(compression, types, stripes, root["field_names"],
+                   stripe_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -300,19 +349,51 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Ar
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
 
 
-def read_orc(path: str) -> pa.Table:
-    """Decode a real ORC file to an Arrow table using the engine kernels."""
+def read_orc(path: str, columns: list[str] | None = None,
+             predicate: dict[str, tuple] | None = None) -> pa.Table:
+    """Decode a real ORC file to an Arrow table using the engine kernels.
+
+    `columns` projects top-level fields (the `ProjectionMask` analog —
+    unprojected columns' streams are never decoded).  `predicate` maps
+    top-level column name -> (lo, hi) inclusive bounds, evaluated
+    against the file's per-stripe statistics (Metadata section): a
+    stripe whose [min, max] cannot intersect is skipped without
+    touching its bytes — the fork's `evaluate_predicate` -> skip stack
+    (`src/row_group_filter.rs`) at stripe granularity on real ORC.
+    Skipping is conservative: stripes without statistics always decode;
+    a final exact filter remains the caller's job."""
     meta = read_metadata(path)
     with open(path, "rb") as f:
         data = f.read()
     root = meta.types[0]
+    names = root["field_names"]
+    want = [i for i, nm in enumerate(names)
+            if columns is None or nm in columns]
+    pred_cols = {}
+    if predicate:
+        for nm, bounds in predicate.items():
+            if nm in names:
+                # column id of a root child is its subtype index
+                pred_cols[root["subtypes"][names.index(nm)]] = bounds
     batches = []
-    for si in meta.stripes:
+    for sidx, si in enumerate(meta.stripes):
+        if pred_cols and sidx < len(meta.stripe_stats):
+            stats = meta.stripe_stats[sidx]
+            skip = False
+            for cid, (lo, hi) in pred_cols.items():
+                if cid in stats:
+                    mn, mx = stats[cid]
+                    if (lo is not None and mx < lo) or \
+                       (hi is not None and mn > hi):
+                        skip = True
+                        break
+            if skip:
+                continue
         streams, encodings = _stripe_streams(data, meta, si)
         n = si["n_rows"]
-        cols = [_decode_column(sub, meta, streams, encodings, n)
-                for sub in root["subtypes"]]
-        batches.append(pa.table(cols, names=root["field_names"]))
+        cols = [_decode_column(root["subtypes"][i], meta, streams,
+                               encodings, n) for i in want]
+        batches.append(pa.table(cols, names=[names[i] for i in want]))
     if not batches:
-        return pa.table({name: [] for name in root["field_names"]})
+        return pa.table({names[i]: [] for i in want})
     return pa.concat_tables(batches)

@@ -33,8 +33,15 @@ from .orc_writer import OrcWriter, _build_types  # noqa: F401 (validation)
 
 
 
-def read_orc_spark(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed read of a dir of `.orc` files (or a single file)."""
+def read_orc_spark(spark: SparkSession, path: str,
+                   columns: list[str] | None = None,
+                   predicate: dict[str, tuple] | None = None) -> DataFrame:
+    """Distributed read of a dir of `.orc` files (or a single file).
+
+    `columns` projects into the stripes (unread columns' streams are
+    never decoded); `predicate` {col: (lo, hi)} prunes whole stripes
+    against the files' statistics sections before any stream bytes are
+    touched — conservative, so follow with an exact `.filter`."""
     files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
         if os.path.isdir(path) else [path]
     if not files:
@@ -42,7 +49,7 @@ def read_orc_spark(spark: SparkSession, path: str) -> DataFrame:
     # schema from the first file (cheap: one-file read of the tail +
     # first stripe would suffice; read_orc of file 0 keeps it simple and
     # correct for heterogenous-stripe files)
-    probe = _normalize(read_orc(files[0]))
+    probe = _normalize(read_orc(files[0], columns=columns))
     out_schema = spark_schema_for(probe.schema)
 
     plan = spark.createDataFrame(
@@ -54,7 +61,8 @@ def read_orc_spark(spark: SparkSession, path: str) -> DataFrame:
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             for f in b.column("file").to_pylist():
-                tbl = _normalize(read_orc(f))
+                tbl = _normalize(read_orc(f, columns=columns,
+                                          predicate=predicate))
                 yield from tbl.to_batches()
 
     return plan.mapInArrow(scan, out_schema)

@@ -86,6 +86,46 @@ def _pb_field_bytes(out: bytearray, field: int, data: bytes) -> None:
     out += data
 
 
+def _pb_field_sint(out: bytearray, field: int, v: int) -> None:
+    """sint64: zigzag varint (Integer/Date statistics min/max)."""
+    _pb_field_varint(out, field, (v << 1) ^ (v >> 63))
+
+
+def _column_statistics(arr: pa.Array, kind: int) -> bytes:
+    """ColumnStatistics message for one stripe of one column; empty
+    (numberOfValues only) when the type has no range statistics."""
+    import pyarrow.compute as pc
+    cs = bytearray()
+    n_valid = len(arr) - arr.null_count
+    _pb_field_varint(cs, 1, n_valid)
+    if n_valid:
+        if kind in (TK_SHORT, TK_INT, TK_LONG):
+            s = bytearray()
+            _pb_field_sint(s, 1, int(pc.min(arr).as_py()))
+            _pb_field_sint(s, 2, int(pc.max(arr).as_py()))
+            _pb_field_bytes(cs, 2, bytes(s))
+        elif kind in (TK_FLOAT, TK_DOUBLE):
+            import struct
+            s = bytearray()
+            for field, v in ((1, pc.min(arr).as_py()), (2, pc.max(arr).as_py())):
+                _pb_varint(s, (field << 3) | 1)  # 64-bit wire type
+                s += struct.pack("<d", float(v))
+            _pb_field_bytes(cs, 3, bytes(s))
+        elif kind == TK_STRING:
+            s = bytearray()
+            _pb_field_bytes(s, 1, pc.min(arr).as_py().encode())
+            _pb_field_bytes(s, 2, pc.max(arr).as_py().encode())
+            _pb_field_bytes(cs, 4, bytes(s))
+        elif kind == TK_DATE:
+            s = bytearray()
+            ints = arr.cast(pa.int32())
+            _pb_field_sint(s, 1, int(pc.min(ints).as_py()))
+            _pb_field_sint(s, 2, int(pc.max(ints).as_py()))
+            _pb_field_bytes(cs, 7, bytes(s))
+    _pb_field_varint(cs, 10, 1 if arr.null_count else 0)  # hasNull
+    return bytes(cs)
+
+
 # ---------------------------------------------------------------------------
 # type tree (flat preorder, root struct = column 0)
 # ---------------------------------------------------------------------------
@@ -261,6 +301,7 @@ class OrcWriter:
         self._f.write(b"ORC")
         self._offset = 3
         self._stripes: list[tuple[int, int, int, int]] = []
+        self._stripe_stats: list[dict[int, bytes]] = []
         self._n_rows = 0
 
     def _wrap(self, raw: bytes) -> bytes:
@@ -273,8 +314,12 @@ class OrcWriter:
             return
         streams: list[tuple[int, int, bytes]] = []
         encodings: dict[int, tuple[int, int]] = {0: (ENC_DIRECT, 0)}
+        stats: dict[int, bytes] = {}
         for i, sub in enumerate(self.types[0][1]):
-            _encode_tree(batch.column(i), sub, self.types, streams, encodings)
+            col = batch.column(i)
+            _encode_tree(col, sub, self.types, streams, encodings)
+            stats[sub] = _column_statistics(col, self.types[sub][0])
+        self._stripe_stats.append(stats)
         streams.sort(key=lambda s: (s[0], s[1]))
 
         foot = bytearray()
@@ -305,6 +350,18 @@ class OrcWriter:
         self._n_rows += batch.num_rows
 
     def close(self) -> None:
+        # Metadata section: per-stripe ColumnStatistics (positional by
+        # column id) — what stripe-pruning readers evaluate predicates
+        # against; empty stats rows keep the positions aligned
+        metadata = bytearray()
+        for stats in self._stripe_stats:
+            ss = bytearray()
+            for cid in range(len(self.types)):
+                _pb_field_bytes(ss, 1, stats.get(cid, b""))
+            _pb_field_bytes(metadata, 1, bytes(ss))
+        metadata_w = self._wrap(bytes(metadata))
+        self._f.write(metadata_w)
+
         footer = bytearray()
         _pb_field_varint(footer, 1, 3)  # headerLength ("ORC")
         _pb_field_varint(footer, 2, self._offset)  # contentLength
@@ -340,7 +397,7 @@ class OrcWriter:
         _pb_varint(ps, (4 << 3) | 2)  # version [0, 12] packed
         _pb_varint(ps, 2)
         ps += bytes((0, 12))
-        _pb_field_varint(ps, 5, 0)  # metadataLength
+        _pb_field_varint(ps, 5, len(metadata_w))  # metadataLength
         _pb_field_bytes(ps, 8000, b"ORC")
         self._f.write(bytes(ps))
         self._f.write(bytes((len(ps),)))

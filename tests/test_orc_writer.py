@@ -129,3 +129,46 @@ def test_write_nested(tmp_path):
         "ls": pa.array([[{"q": int(i)}] * (i % 4) for i in range(n)],
                        pa.list_(pa.struct([("q", pa.int64())]))),
     }), "nested")
+
+
+def test_writer_stats_and_stripe_pruning(tmp_path):
+    """The writer emits per-stripe ColumnStatistics (Metadata section,
+    positional by column id, sint64-zigzag ints) and the reader
+    evaluates range predicates against them — the fork's
+    evaluate_predicate -> skip stack at stripe granularity, on real
+    ORC files our own writer produced."""
+    from orc_rust_spark.sources.orc_reader import read_metadata
+    n = 100_000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([f"id{i:08d}" for i in range(n)]),
+        "f": pa.array(np.linspace(-5, 5, n)),
+    })
+    path = str(tmp_path / "stats.orc")
+    write_orc(path, tbl, compression=1, stripe_rows=10_000)
+    meta = read_metadata(path)
+    assert len(meta.stripes) == 10
+    assert len(meta.stripe_stats) == 10
+    assert meta.stripe_stats[3][1] == (30_000, 39_999)
+    # pyarrow's reader still accepts the file with the stats section
+    assert po.ORCFile(path).read().num_rows == n
+    # int predicate -> exactly one stripe decoded
+    t = read_orc(path, predicate={"k": (25_000, 26_000)})
+    assert t.num_rows == 10_000
+    # string + projection
+    t2 = read_orc(path, columns=["s"],
+                  predicate={"s": ("id00055000", "id00055999")})
+    assert t2.num_rows == 10_000 and t2.schema.names == ["s"]
+    # float predicate and full prune
+    assert read_orc(path, predicate={"f": (4.9, 5.0)}).num_rows == 10_000
+    assert read_orc(path, predicate={"k": (10**9, 10**9 + 1)}).num_rows == 0
+
+
+def test_reader_prunes_pyarrow_written_stats(tmp_path):
+    n = 10_000
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    path = str(tmp_path / "pa.orc")
+    po.write_table(tbl, path)
+    got = read_orc(path, predicate={"k": (5, 10)})
+    assert got.num_rows in (0, n)  # single stripe: kept (conservative)
+    assert read_orc(path, predicate={"k": (10**9, None)}).num_rows == 0
