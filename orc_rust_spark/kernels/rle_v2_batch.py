@@ -554,15 +554,23 @@ from .util import (  # noqa: E402
 )
 
 
+def _concat_spans(raw: np.ndarray, spans) -> np.ndarray:
+    """Concatenate byte ranges of the stream buffer without building
+    intermediate bytes objects (zero-copy views into `raw`)."""
+    return np.concatenate([raw[p: p + nb] for p, nb in spans]) \
+        if spans else np.empty(0, dtype=np.uint8)
+
+
 def _scatter(out: np.ndarray, offsets: list[int], lens: list[int],
              vals: np.ndarray) -> None:
-    """Write concatenated per-block values to their output positions."""
-    off = np.array(offsets, dtype=np.int64)
-    ln = np.array(lens, dtype=np.int64)
-    starts = np.zeros(len(ln), dtype=np.int64)
+    """Write concatenated per-block values to their output positions
+    (int32 index arithmetic — pure memory traffic)."""
+    off = np.array(offsets, dtype=np.int32)
+    ln = np.array(lens, dtype=np.int32)
+    starts = np.zeros(len(ln), dtype=np.int32)
     np.cumsum(ln[:-1], out=starts[1:])
-    total = int(ln.sum())
-    idx = np.repeat(off, ln) + (np.arange(total, dtype=np.int64)
+    total = int(ln.sum(dtype=np.int64))
+    idx = np.repeat(off, ln) + (np.arange(total, dtype=np.int32)
                                 - np.repeat(starts, ln))
     out[idx] = vals
 
@@ -709,17 +717,15 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
                 + pos_in * np.repeat(np.array(fd_step, dtype=I64), ln))
         _scatter(out, fd_off, fd_len, vals)
     for w, (offs, lens_, spans) in dir_g.items():
-        blob = b"".join(bytes(buf[p: p + nb]) for p, nb in spans)
         lens_a = np.array(lens_, dtype=np.int64)
-        vals_u = unpack_ints_segmented(np.frombuffer(blob, dtype=np.uint8),
-                                       lens_a, w)
+        vals_u = unpack_ints_segmented(_concat_spans(raw, spans), lens_a, w)
         vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
         _scatter(out, offs, lens_, vals)
     for w, blocks in vd_g.items():
-        blob = b"".join(bytes(buf[p: p + nb]) for _, _, _, _, _, p, nb in blocks)
         dlens = np.array([b[1] - 2 for b in blocks], dtype=np.int64)
-        deltas = unpack_ints_segmented(np.frombuffer(blob, dtype=np.uint8),
-                                       dlens, w).view(I64)
+        deltas = unpack_ints_segmented(
+            _concat_spans(raw, [(b[5], b[6]) for b in blocks]),
+            dlens, w).view(I64)
         signs = np.repeat(np.array([b[4] for b in blocks], dtype=I64), dlens)
         sd = deltas * signs
         # segmented cumsum
@@ -735,10 +741,9 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
         out[head_idx] = np.array([b[2] for b in blocks], dtype=I64)
         out[head_idx + 1] = second
     for w, blocks in pb_g.items():
-        blob = b"".join(bytes(buf[p: p + nb]) for _, _, _, p, _, nb in blocks)
         lens_a = np.array([b[1] for b in blocks], dtype=np.int64)
-        data_u = unpack_ints_segmented(np.frombuffer(blob, dtype=np.uint8),
-                                       lens_a, w)
+        data_u = unpack_ints_segmented(
+            _concat_spans(raw, [(b[3], b[5]) for b in blocks]), lens_a, w)
         starts = np.zeros(len(lens_a), dtype=np.int64)
         np.cumsum(lens_a[:-1], out=starts[1:])
         ppos: list[int] = []
