@@ -592,6 +592,46 @@ _TS2_ORACLE = ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
                "FROM events")
 
 
+def q_pipeline_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full batch pipeline as one gate query: tokenize -> sampling
+    pass codec routing -> token-mass-weighted skew repartition -> 2
+    resumable waves with lineage manifests -> read stripes back ->
+    decode.  Gives the skew/resume/sampling operators (previously
+    pytest-only) a value-level oracle row."""
+    import tempfile
+    from .plans.pipeline import encode_corpus, read_stripes
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    out = tempfile.mkdtemp(prefix="pipe_corpus_")
+    encode_corpus(tok, out, stripe_tokens=1 << 16, waves=2,
+                  partitions=8, auto_plan=True, weighted=True)
+    stripes = read_stripes(spark, out)
+    decoded = decode_pass(stripes, TOKEN_SCHEMA)
+    return decoded.select("doc_id", "n_tok", "source")
+
+
+def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming encode drained with the availableNow
+    trigger: token parquet -> readStream -> foreachBatch encode_pass ->
+    append sink -> decode.  Exactly-once per micro-batch; the decoded
+    rows must match the batch oracle exactly."""
+    import tempfile
+    from .streaming.encode_stream import encode_stream
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    base = tempfile.mkdtemp(prefix="stream_enc_")
+    src = f"{base}/in"
+    out = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    tok.repartition(4).write.mode("overwrite").parquet(src)
+    q = encode_stream(spark, src, out, ckpt, stripe_tokens=1 << 16,
+                      max_files_per_trigger=2, available_now=True)
+    q.awaitTermination()
+    stripes = spark.read.parquet(out)
+    decoded = decode_pass(stripes, TOKEN_SCHEMA)
+    return decoded.select("doc_id", "n_tok", "source")
+
+
 def q_roundtrip_orc_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full real-ORC interop through Spark: write lineitem as `.orc`
     files with the distributed sink (one file per partition, chunked
@@ -762,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_compressed"] = q_roundtrip_compressed
     q["decode_rowgroup_pruned"] = q_decode_rowgroup_pruned
     q["roundtrip_orc_file"] = q_roundtrip_orc_file
+    q["pipeline_encode_corpus"] = q_pipeline_encode_corpus
+    q["streaming_encode"] = q_streaming_encode
     q["roundtrip_tokens"] = q_roundtrip_tokens
     q["tokens_projection"] = q_tokens_projection
     q["decode_pruned"] = q_decode_pruned
@@ -797,6 +839,8 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_compressed"] = _TOKENS_ORACLE_BASE
     o["decode_rowgroup_pruned"] = _ROWGROUP_ORACLE
     o["roundtrip_orc_file"] = _ORC_FILE_ORACLE
+    o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE
+    o["streaming_encode"] = _TOKENS_ORACLE_BASE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
     o["tokens_projection"] = \
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents"
