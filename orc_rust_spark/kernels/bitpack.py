@@ -95,12 +95,19 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
         return b"", offs
     starts = np.zeros(K, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    pos_in_seg = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-    val_bit = np.repeat(offs[:-1] * 8, lens) + pos_in_seg * width
+    pos_in_seg = np.arange(n, dtype=np.int32) - np.repeat(
+        starts.astype(np.int32), lens)
+    val_bit = np.repeat((offs[:-1] * 8).astype(np.int32), lens) \
+        + pos_in_seg * np.int32(width)
     bits = np.zeros(int(offs[-1]) * 8, dtype=np.uint8)
-    # one scatter per bit position: keeps peak memory at O(n), not O(n*w)
+    # one scatter per bit position keeps peak memory at O(n), not O(n*w);
+    # uint32 value / int32 index domains halve the scatter traffic for
+    # the common width<=32 case (values fit `width` bits by precondition)
+    vv = v.astype(np.uint32) if width <= 32 else v
+    one = vv.dtype.type(1)
     for k in range(width):
-        bits[val_bit + k] = ((v >> U64(width - 1 - k)) & U64(1)).astype(np.uint8)
+        bits[val_bit + k] = ((vv >> vv.dtype.type(width - 1 - k)) & one) \
+            .astype(np.uint8)
     return np.packbits(bits).tobytes(), offs
 
 
@@ -132,13 +139,17 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
     np.cumsum(byte_lens[:-1], out=offs[1:])
     starts = np.zeros(K, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    pos_in_seg = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-    val_bit = np.repeat(offs * 8, lens) + pos_in_seg * width
+    pos_in_seg = np.arange(n, dtype=np.int32) - np.repeat(
+        starts.astype(np.int32), lens)
+    val_bit = np.repeat((offs * 8).astype(np.int32), lens) \
+        + pos_in_seg * np.int32(width)
     bits = np.unpackbits(np.asarray(raw, dtype=np.uint8))
-    vals = np.zeros(n, dtype=U64)
+    # accumulate in uint32 when the value fits, widening once at the end
+    acc_t = np.uint32 if width <= 32 else U64
+    vals = np.zeros(n, dtype=acc_t)
     for k in range(width):
-        vals |= bits[val_bit + k].astype(U64) << U64(width - 1 - k)
-    return vals
+        vals |= bits[val_bit + k].astype(acc_t) << acc_t(width - 1 - k)
+    return vals.astype(U64)
 
 
 def packed_byte_len(n: int, width: int) -> int:
