@@ -23,4 +23,36 @@ codec kernels and the block-level codec decision tree, which must match
 the reference bit-for-bit (SURVEY.md §4.3, §4.4).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps bare `import orc_rust_spark` Spark-free
+    for kernel-only use).  Reference-surface mapping:
+
+    orc-rust `ArrowReader`  -> `read_orc` (Arrow) / `read_orc_spark`
+    orc-rust `ArrowWriter`  -> `write_orc` / `OrcWriter` / `write_orc_spark`
+    `read_metadata`         -> `read_metadata` / `orc_file_stats`
+    stripe engine           -> `encode_stripe` / `decode_stripe` (+
+                               `encode_stripe_rowgroups` row-group index)
+    """
+    lazy = {
+        "read_orc": ("orc_rust_spark.sources.orc_reader", "read_orc"),
+        "read_metadata": ("orc_rust_spark.sources.orc_reader", "read_metadata"),
+        "write_orc": ("orc_rust_spark.sources.orc_writer", "write_orc"),
+        "OrcWriter": ("orc_rust_spark.sources.orc_writer", "OrcWriter"),
+        "read_orc_spark": ("orc_rust_spark.sources.orc_spark", "read_orc_spark"),
+        "write_orc_spark": ("orc_rust_spark.sources.orc_spark", "write_orc_spark"),
+        "orc_file_stats": ("orc_rust_spark.sources.orc_spark", "orc_file_stats"),
+        "encode_stripe": ("orc_rust_spark.stripes", "encode_stripe"),
+        "decode_stripe": ("orc_rust_spark.stripes", "decode_stripe"),
+        "encode_stripe_rowgroups": ("orc_rust_spark.stripes",
+                                    "encode_stripe_rowgroups"),
+        "decode_stripe_rowgroups": ("orc_rust_spark.stripes",
+                                    "decode_stripe_rowgroups"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'orc_rust_spark' has no attribute {name!r}")
