@@ -95,14 +95,16 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
         return b"", offs
     starts = np.zeros(K, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    pos_in_seg = np.arange(n, dtype=np.int32) - np.repeat(
-        starts.astype(np.int32), lens)
-    val_bit = np.repeat((offs[:-1] * 8).astype(np.int32), lens) \
-        + pos_in_seg * np.int32(width)
+    # int32 index domain halves scatter traffic; guard on total bit
+    # count so a >2^31-bit pack falls back to exact int64 arithmetic
+    it = np.int32 if int(offs[-1]) * 8 + width < 2**31 else np.int64
+    pos_in_seg = np.arange(n, dtype=it) - np.repeat(starts.astype(it), lens)
+    val_bit = np.repeat((offs[:-1] * 8).astype(it), lens) \
+        + pos_in_seg * it(width)
     bits = np.zeros(int(offs[-1]) * 8, dtype=np.uint8)
     # one scatter per bit position keeps peak memory at O(n), not O(n*w);
-    # uint32 value / int32 index domains halve the scatter traffic for
-    # the common width<=32 case (values fit `width` bits by precondition)
+    # uint32 value domain for the common width<=32 case (values fit
+    # `width` bits by precondition)
     vv = v.astype(np.uint32) if width <= 32 else v
     one = vv.dtype.type(1)
     for k in range(width):
@@ -139,10 +141,10 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
     np.cumsum(byte_lens[:-1], out=offs[1:])
     starts = np.zeros(K, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    pos_in_seg = np.arange(n, dtype=np.int32) - np.repeat(
-        starts.astype(np.int32), lens)
-    val_bit = np.repeat((offs * 8).astype(np.int32), lens) \
-        + pos_in_seg * np.int32(width)
+    total_bits = int(offs[-1] + byte_lens[-1]) * 8
+    it = np.int32 if total_bits + width < 2**31 else np.int64
+    pos_in_seg = np.arange(n, dtype=it) - np.repeat(starts.astype(it), lens)
+    val_bit = np.repeat((offs * 8).astype(it), lens) + pos_in_seg * it(width)
     bits = np.unpackbits(np.asarray(raw, dtype=np.uint8))
     # accumulate in uint32 when the value fits, widening once at the end
     acc_t = np.uint32 if width <= 32 else U64

@@ -85,7 +85,11 @@ def compress_stream(blob: bytes, kind: int,
     return bytes(out)
 
 
-def decompress_stream(buf, kind: int) -> bytes:
+def decompress_stream(buf, kind: int,
+                      block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
+    """`block_size` is the writer's compressionBlockSize (PostScript
+    field 3) — the upper bound each chunk decompresses to, needed by
+    codecs whose raw blocks don't carry their size (lz4)."""
     if kind == K_NONE:
         return bytes(buf)
     buf = memoryview(buf)
@@ -97,5 +101,5 @@ def decompress_stream(buf, kind: int) -> bytes:
         length = header >> 1
         body = bytes(buf[pos: pos + length])
         pos += length
-        out += body if header & 1 else _decompress_one(kind, body)
+        out += body if header & 1 else _decompress_one(kind, body, block_size)
     return bytes(out)

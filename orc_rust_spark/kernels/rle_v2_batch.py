@@ -564,13 +564,15 @@ def _concat_spans(raw: np.ndarray, spans) -> np.ndarray:
 def _scatter(out: np.ndarray, offsets: list[int], lens: list[int],
              vals: np.ndarray) -> None:
     """Write concatenated per-block values to their output positions
-    (int32 index arithmetic — pure memory traffic)."""
-    off = np.array(offsets, dtype=np.int32)
-    ln = np.array(lens, dtype=np.int32)
-    starts = np.zeros(len(ln), dtype=np.int32)
+    (int32 index arithmetic when the output fits — pure memory
+    traffic; int64 fallback past 2^31 values)."""
+    it = np.int32 if len(out) < 2**31 else np.int64
+    off = np.array(offsets, dtype=it)
+    ln = np.array(lens, dtype=it)
+    starts = np.zeros(len(ln), dtype=it)
     np.cumsum(ln[:-1], out=starts[1:])
-    total = int(ln.sum(dtype=np.int64))
-    idx = np.repeat(off, ln) + (np.arange(total, dtype=np.int32)
+    total = int(np.asarray(lens, dtype=np.int64).sum())
+    idx = np.repeat(off, ln) + (np.arange(total, dtype=it)
                                 - np.repeat(starts, ln))
     out[idx] = vals
 

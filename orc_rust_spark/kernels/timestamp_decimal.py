@@ -48,15 +48,50 @@ def timestamp_decode(data_stream, secondary_stream, n: int,
     return seconds * np.int64(1_000_000_000) + nanos
 
 
+def timestamp_encode_us(micros_since_epoch: np.ndarray,
+                        base_seconds: int = ORC_TS_BASE_SECONDS
+                        ) -> tuple[bytes, bytes]:
+    """Encode µs-precision instants WITHOUT the ns-int64 intermediate:
+    `us * 1000` wraps int64 for years beyond ~2262 even though the
+    two-stream format (separate seconds + sub-second nanos) represents
+    them fine — seconds/nanos are derived from µs directly."""
+    us = np.ascontiguousarray(micros_since_epoch, dtype=I64)
+    seconds = us // np.int64(1_000_000)
+    nanos = (us - seconds * np.int64(1_000_000)) * np.int64(1000)
+    return _timestamp_encode_parts(seconds, nanos, base_seconds)
+
+
+def timestamp_decode_us(data_stream, secondary_stream, n: int,
+                        base_seconds: int = ORC_TS_BASE_SECONDS) -> np.ndarray:
+    """Decode to int64 µs since the unix epoch without the ns-int64
+    intermediate (exact inverse of `timestamp_encode_us`)."""
+    seconds = rle_v2_decode(data_stream, n, signed=True) + np.int64(base_seconds)
+    raw = rle_v2_decode(secondary_stream, n, signed=False)
+    zeros = (raw & np.int64(7)).astype(np.int64)
+    base = (raw >> np.int64(3)).astype(np.int64)
+    scale = np.power(10, np.where(zeros != 0, zeros + 1, 0)).astype(np.int64)
+    nanos = base * scale
+    adjust = (seconds < 0) & (nanos > 999_999)
+    seconds = np.where(adjust, seconds - 1, seconds)
+    return seconds * np.int64(1_000_000) + nanos // np.int64(1000)
+
+
 def timestamp_encode(nanos_since_epoch: np.ndarray,
                      base_seconds: int = ORC_TS_BASE_SECONDS
                      ) -> tuple[bytes, bytes]:
     """Inverse of `timestamp_decode` (the reference has no timestamp
     writer; this exists for roundtrip tests and our own sinks)."""
-    from .rle_v2 import rle_v2_encode
     ns = np.ascontiguousarray(nanos_since_epoch, dtype=I64)
     seconds = ns // np.int64(1_000_000_000)
     nanos = ns - seconds * np.int64(1_000_000_000)
+    return _timestamp_encode_parts(seconds, nanos, base_seconds)
+
+
+def _timestamp_encode_parts(seconds: np.ndarray, nanos: np.ndarray,
+                            base_seconds: int) -> tuple[bytes, bytes]:
+    from .rle_v2 import rle_v2_encode
+    seconds = np.ascontiguousarray(seconds, dtype=I64)
+    nanos = np.ascontiguousarray(nanos, dtype=I64)
     # undo the ORC-763 borrow (decode subtracts one second when stored
     # seconds < 0 and nanos > 999_999)
     adjust = (seconds < 0) & (nanos > 999_999)
@@ -67,7 +102,7 @@ def timestamp_encode(nanos_since_epoch: np.ndarray,
         raise ValueError("timestamps in (-1s, 0) are not representable "
                          "in ORC's two-stream encoding (ORC-763)")
     # trailing-zero trick: count 10^k factors (k up to 7 encodable +1)
-    zeros = np.zeros(len(ns), dtype=np.int64)
+    zeros = np.zeros(len(seconds), dtype=np.int64)
     base = nanos.copy()
     for _ in range(9):
         m = (base != 0) & (base % 10 == 0)

@@ -670,7 +670,10 @@ def q_decode_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.types as T
     from .stripes import decode_stripe_rowgroups, encode_stripe_rowgroups
 
-    lo, hi = 3_000, 9_000
+    # bounds chosen inside the SMALLEST sf's key range (sf0.001 tops
+    # out at 1499) so the gate exercises keep-AND-skip at every scale —
+    # an out-of-range predicate would pass vacuously with 0 rows
+    lo, hi = 300, 900
     li = load(spark, sf_dir, "lineitem") \
         .select("l_orderkey", "l_partkey", "l_quantity")
 
@@ -708,7 +711,7 @@ def q_decode_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROWGROUP_ORACLE = (
     "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
-    "WHERE l_orderkey BETWEEN 3000 AND 9000"
+    "WHERE l_orderkey BETWEEN 300 AND 900"
 )
 
 

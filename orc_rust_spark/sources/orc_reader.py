@@ -30,13 +30,36 @@ from ..kernels.rle_v2 import rle_v2_decode
 from ..kernels.timestamp_decimal import decimal_decode, timestamp_decode
 from ..kernels.util import read_varint
 
-# proto enum values (format/orc_proto.proto in the reference; public spec)
-K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY = 0, 1, 2, 3, 5
-ENC_DIRECT, ENC_DICT, ENC_DIRECT_V2, ENC_DICT_V2 = 0, 1, 2, 3
-(TK_BOOL, TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_FLOAT, TK_DOUBLE,
- TK_STRING, TK_BINARY, TK_TIMESTAMP, TK_LIST, TK_MAP, TK_STRUCT,
- TK_UNION, TK_DECIMAL, TK_DATE, TK_VARCHAR, TK_CHAR,
- TK_TIMESTAMP_INSTANT) = range(19)
+from .orc_format import (  # noqa: F401  (shared spec enums)
+    ENC_DICT,
+    ENC_DICT_V2,
+    ENC_DIRECT,
+    ENC_DIRECT_V2,
+    K_DATA,
+    K_DICT_DATA,
+    K_LENGTH,
+    K_PRESENT,
+    K_SECONDARY,
+    TK_BINARY,
+    TK_BOOL,
+    TK_BYTE,
+    TK_CHAR,
+    TK_DATE,
+    TK_DECIMAL,
+    TK_DOUBLE,
+    TK_FLOAT,
+    TK_INT,
+    TK_LIST,
+    TK_LONG,
+    TK_MAP,
+    TK_SHORT,
+    TK_STRING,
+    TK_STRUCT,
+    TK_TIMESTAMP,
+    TK_TIMESTAMP_INSTANT,
+    TK_UNION,
+    TK_VARCHAR,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +149,9 @@ def _parse_col_stats(raw: bytes) -> tuple | None:
 
 class OrcMeta:
     def __init__(self, compression: int, types: list[dict], stripes: list[dict],
-                 field_names: list[str], stripe_stats: list[dict] | None = None):
+                 field_names: list[str], stripe_stats: list[dict] | None = None,
+                 block_size: int = 256 * 1024):
+        self.block_size = block_size
         self.compression = compression
         self.types = types
         self.stripes = stripes
@@ -142,17 +167,18 @@ def read_metadata(path: str) -> OrcMeta:
     ps = _pb_parse(data[-1 - ps_len: -1])
     footer_len = _one(ps, 1)
     compression = _one(ps, 2)  # 0 none, 1 zlib, 2 snappy, 3 lzo, 4 lz4, 5 zstd
+    block_size = _one(ps, 3, 256 * 1024)
     meta_len = _one(ps, 5)
     footer_raw = data[-1 - ps_len - footer_len: -1 - ps_len]
     if compression:
-        footer_raw = decompress_stream(footer_raw, compression)
+        footer_raw = decompress_stream(footer_raw, compression, block_size)
     footer = _pb_parse(footer_raw)
     stripe_stats: list[dict] = []
     if meta_len:
         meta_raw = data[-1 - ps_len - footer_len - meta_len:
                         -1 - ps_len - footer_len]
         if compression:
-            meta_raw = decompress_stream(meta_raw, compression)
+            meta_raw = decompress_stream(meta_raw, compression, block_size)
         metadata = _pb_parse(meta_raw)
         for ss_raw in metadata.get(1, []):  # repeated StripeStatistics
             ss = _pb_parse(ss_raw)
@@ -182,7 +208,7 @@ def read_metadata(path: str) -> OrcMeta:
         })
     root = types[0] if types else {"field_names": []}
     return OrcMeta(compression, types, stripes, root["field_names"],
-                   stripe_stats)
+                   stripe_stats, block_size)
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +221,8 @@ def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
     body_len = si["index_length"] + si["data_length"]
     foot_raw = data[start + body_len: start + body_len + si["footer_length"]]
     if meta.compression:
-        foot_raw = decompress_stream(foot_raw, meta.compression)
+        foot_raw = decompress_stream(foot_raw, meta.compression,
+                                     meta.block_size)
     foot = _pb_parse(foot_raw)
     streams = {}
     off = start
@@ -206,7 +233,8 @@ def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
         off += ln
         if kind in (K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY):
             if meta.compression:
-                raw = decompress_stream(raw, meta.compression)
+                raw = decompress_stream(raw, meta.compression,
+                                        meta.block_size)
             streams[(col, kind)] = raw
     encodings = {}
     for ci, craw in enumerate(foot.get(2, [])):
@@ -349,6 +377,44 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Ar
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
 
 
+def _arrow_type_of(meta: OrcMeta, cid: int) -> pa.DataType:
+    """Arrow type of a column from the footer type tree alone — lets
+    callers get schemas (and typed empty results) at tail-parse cost,
+    without decoding any stripe."""
+    t = meta.types[cid]
+    kind = t["kind"]
+    scalar = {TK_BOOL: pa.bool_(), TK_BYTE: pa.int8(), TK_SHORT: pa.int16(),
+              TK_INT: pa.int32(), TK_LONG: pa.int64(), TK_FLOAT: pa.float32(),
+              TK_DOUBLE: pa.float64(), TK_STRING: pa.string(),
+              TK_VARCHAR: pa.string(), TK_CHAR: pa.string(),
+              TK_BINARY: pa.binary(), TK_DATE: pa.date32(),
+              TK_TIMESTAMP: pa.timestamp("ns"),
+              TK_TIMESTAMP_INSTANT: pa.timestamp("ns")}
+    if kind in scalar:
+        return scalar[kind]
+    if kind == TK_DECIMAL:
+        return pa.decimal128(t["precision"] or 38, t["scale"])
+    if kind == TK_LIST:
+        return pa.list_(_arrow_type_of(meta, t["subtypes"][0]))
+    if kind == TK_MAP:
+        return pa.map_(_arrow_type_of(meta, t["subtypes"][0]),
+                       _arrow_type_of(meta, t["subtypes"][1]))
+    if kind == TK_STRUCT:
+        return pa.struct([(nm, _arrow_type_of(meta, sub))
+                          for nm, sub in zip(t["field_names"], t["subtypes"])])
+    raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
+
+
+def arrow_schema(meta: OrcMeta,
+                 columns: list[str] | None = None) -> pa.Schema:
+    """Schema of the file's root struct from metadata only."""
+    root = meta.types[0]
+    return pa.schema([
+        pa.field(nm, _arrow_type_of(meta, sub))
+        for nm, sub in zip(root["field_names"], root["subtypes"])
+        if columns is None or nm in columns])
+
+
 def read_orc(path: str, columns: list[str] | None = None,
              predicate: dict[str, tuple] | None = None) -> pa.Table:
     """Decode a real ORC file to an Arrow table using the engine kernels.
@@ -395,5 +461,7 @@ def read_orc(path: str, columns: list[str] | None = None,
                                encodings, n) for i in want]
         batches.append(pa.table(cols, names=[names[i] for i in want]))
     if not batches:
-        return pa.table({names[i]: [] for i in want})
+        # typed empty result (null-typed columns would poison downstream
+        # concat/cast when one file of a set happens to be fully pruned)
+        return arrow_schema(meta, columns).empty_table()
     return pa.concat_tables(batches)

@@ -28,8 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.types as T
 
 from ..operators.decode import spark_schema_for
-from .orc_reader import read_metadata, read_orc
-from .orc_writer import OrcWriter, _build_types  # noqa: F401 (validation)
+from .orc_reader import arrow_schema, read_metadata, read_orc
+from .orc_writer import OrcWriter
 
 
 
@@ -46,11 +46,11 @@ def read_orc_spark(spark: SparkSession, path: str,
         if os.path.isdir(path) else [path]
     if not files:
         raise ValueError(f"no .orc files under {path}")
-    # schema from the first file (cheap: one-file read of the tail +
-    # first stripe would suffice; read_orc of file 0 keeps it simple and
-    # correct for heterogenous-stripe files)
-    probe = _normalize(read_orc(files[0], columns=columns))
-    out_schema = spark_schema_for(probe.schema)
+    # schema from the first file's TAIL only — no stripe is decoded on
+    # the driver (decoding file 0 twice cost GBs of driver work on
+    # large files)
+    probe_schema = arrow_schema(read_metadata(files[0]), columns)
+    out_schema = spark_schema_for(_normalize_schema(probe_schema))
 
     plan = spark.createDataFrame(
         [(i, f) for i, f in enumerate(files)],
@@ -68,17 +68,17 @@ def read_orc_spark(spark: SparkSession, path: str,
     return plan.mapInArrow(scan, out_schema)
 
 
-def _normalize(tbl: pa.Table) -> pa.Table:
+def _normalize_schema(schema: pa.Schema) -> pa.Schema:
     """ORC timestamps are ns-precision; Spark's Arrow bridge wants µs."""
-    fields = []
-    changed = False
-    for f in tbl.schema:
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
-            fields.append(pa.field(f.name, pa.timestamp("us")))
-            changed = True
-        else:
-            fields.append(f)
-    return tbl.cast(pa.schema(fields)) if changed else tbl
+    return pa.schema([
+        pa.field(f.name, pa.timestamp("us"))
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns" else f
+        for f in schema])
+
+
+def _normalize(tbl: pa.Table) -> pa.Table:
+    target = _normalize_schema(tbl.schema)
+    return tbl.cast(target) if target != tbl.schema else tbl
 
 
 ORC_MANIFEST_SCHEMA = T.StructType([

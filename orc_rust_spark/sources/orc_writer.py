@@ -26,14 +26,35 @@ from ..kernels.byte_rle import byte_rle_encode
 from ..kernels.compression import compress_stream
 from ..kernels.float_codec import float_encode
 from ..kernels.rle_v2 import rle_v2_encode
-from ..kernels.timestamp_decimal import decimal_encode, timestamp_encode
+from ..kernels.timestamp_decimal import decimal_encode, timestamp_encode_us
 
-# proto enums (format/orc_proto.proto; public spec)
-K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY = 0, 1, 2, 3, 5
-ENC_DIRECT, ENC_DICT, ENC_DIRECT_V2, ENC_DICT_V2 = 0, 1, 2, 3
-(TK_BOOL, TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_FLOAT, TK_DOUBLE,
- TK_STRING, TK_BINARY, TK_TIMESTAMP, TK_LIST, TK_MAP, TK_STRUCT,
- TK_UNION, TK_DECIMAL, TK_DATE) = range(16)
+from .orc_format import (  # noqa: F401  (shared spec enums)
+    ENC_DICT,
+    ENC_DICT_V2,
+    ENC_DIRECT,
+    ENC_DIRECT_V2,
+    K_DATA,
+    K_DICT_DATA,
+    K_LENGTH,
+    K_PRESENT,
+    K_SECONDARY,
+    TK_BINARY,
+    TK_BOOL,
+    TK_BYTE,
+    TK_DATE,
+    TK_DECIMAL,
+    TK_DOUBLE,
+    TK_FLOAT,
+    TK_INT,
+    TK_LIST,
+    TK_LONG,
+    TK_MAP,
+    TK_SHORT,
+    TK_STRING,
+    TK_STRUCT,
+    TK_TIMESTAMP,
+    TK_UNION,
+)
 
 _PA_SCALAR_TO_ORC = {
     pa.bool_(): TK_BOOL, pa.int8(): TK_BYTE, pa.int16(): TK_SHORT,
@@ -246,7 +267,7 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
     elif kind == TK_TIMESTAMP:
         us = valid.cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        data, sec = timestamp_encode(us * np.int64(1000))
+        data, sec = timestamp_encode_us(us)
         out_streams.append((cid, K_DATA, data))
         out_streams.append((cid, K_SECONDARY, sec))
     elif kind in (TK_STRING, TK_BINARY):

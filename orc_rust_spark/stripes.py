@@ -344,9 +344,9 @@ def _encode_column(name, arr, plan, metas, streams_out) -> None:
     if tcode == T_TIMESTAMP_US and plan.codec == C_TS2:
         # ORC two-stream layout (seconds-from-2015 + nano trick),
         # `src/encoding/timestamp.rs:30-197`; exact for µs instants
-        from .kernels.timestamp_decimal import timestamp_encode
+        from .kernels.timestamp_decimal import timestamp_encode_us
         us = valid_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        data, sec = timestamp_encode(us * np.int64(1000))
+        data, sec = timestamp_encode_us(us)
         codec = C_TS2
         streams[K_DATA] = data
         streams[K_SECONDARY] = sec
@@ -614,9 +614,9 @@ def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
 
     atype = _arrow_type(tcode)
     if tcode == T_TIMESTAMP_US and codec == C_TS2:
-        from .kernels.timestamp_decimal import timestamp_decode
-        ns = timestamp_decode(stream(K_DATA), stream(K_SECONDARY), n_valid)
-        arr = _respace_primitive(ns // np.int64(1000), validity, n, atype)
+        from .kernels.timestamp_decimal import timestamp_decode_us
+        us = timestamp_decode_us(stream(K_DATA), stream(K_SECONDARY), n_valid)
+        arr = _respace_primitive(us, validity, n, atype)
     elif tcode in _INT_TYPES:
         vals = _decode_int(codec, stream(K_DATA), n_valid)
         arr = _respace_primitive(vals, validity, n, atype)

@@ -126,23 +126,27 @@ def main() -> None:
             "encode_GBps": {"1_exec": round(thr1, 4), "4_execs": round(thr4, 4)},
             "efficiency": round(thr4 / (4 * thr1), 3),
         })
-    best = max(pairs, key=lambda p: p["efficiency"])
     effs = sorted(p["efficiency"] for p in pairs)
+    m = len(effs)
+    median = effs[m // 2] if m % 2 else round((effs[m // 2 - 1]
+                                               + effs[m // 2]) / 2, 3)
+    # the HEADLINE is the median: max-of-pairs would reintroduce
+    # selection bias (upward) on a host whose runs vary 2-3x — the
+    # mirror image of the min-selection bias pairing removed
     report = {
         "cores_per_executor": CORES_PER_EXEC,
         "protocol": "alternating pairs; efficiency computed within each "
-                    "pair at equal background load",
+                    "pair at equal background load; headline = median",
         "pair_efficiencies": effs,
-        "best_pair": best,
-        "encode_scaling_efficiency_1_to_4_executors": best["efficiency"],
-        "median_efficiency": effs[len(effs) // 2],
+        "encode_scaling_efficiency_1_to_4_executors": median,
+        "best_pair_efficiency": effs[-1],
         "pairs": pairs,
     }
     (ROOT / "BENCH_MULTIEXEC.json").write_text(json.dumps(report, indent=2))
     print(json.dumps({k: report[k] for k in
                       ("cores_per_executor", "pair_efficiencies",
                        "encode_scaling_efficiency_1_to_4_executors",
-                       "median_efficiency")}))
+                       "best_pair_efficiency")}))
 
 
 if __name__ == "__main__":
