@@ -123,7 +123,8 @@ def main() -> None:
     if not CODEC_ONLY:
         q = reg.queries()
         for name in ["roundtrip_tokens", "roundtrip_lineitem", "minhash_lsh_pairs",
-                     "simhash", "embedding_topk", "exact_dedup", "lineitem_agg"]:
+                     "simhash", "embedding_topk", "exact_dedup", "lineitem_agg",
+                     "ann_lsh_topk", "decode_rowgroup_pruned"]:
             timed(name, lambda name=name: q[name](spark, SF_DIR).count(), reps=2)
 
     total = round(sum(timings.values()), 3)
