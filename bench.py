@@ -97,7 +97,7 @@ def main() -> None:
     # --- fused scan+encode and decode: the GB/s measurements -------------
     timed("encode_synthetic",
           lambda: scan_encode_parquet(spark, CORPUS_DIR, stripe_tokens=1 << 21)
-          .agg(F.sum("output_bytes")).collect(), reps=2)
+          .agg(F.sum("output_bytes")).collect(), reps=3)
     # different budget => different plan, defeats accidental cache reuse
     stripes = scan_encode_parquet(spark, CORPUS_DIR,
                                   stripe_tokens=(1 << 21) + 1).persist()
@@ -114,7 +114,7 @@ def main() -> None:
     decoded_tokens = timed(
         "decode_synthetic",
         lambda: decode_pass(stripes, TOKEN_SCHEMA).agg(F.sum("n_tok")).collect()[0][0],
-        reps=2)
+        reps=3)
     assert int(decoded_tokens) == int(n_tokens), "decode token-count mismatch"
     extra["decode_GBps"] = round(input_bytes / timings["decode_synthetic"] / 1e9, 3)
     stripes.unpersist()
