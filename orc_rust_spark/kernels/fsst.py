@@ -120,15 +120,20 @@ class SymbolTable:
                 cnt_s = bcnt[order]
                 base_s = self._bstart[p2[order]]
                 full_s = full[order]
+                # probe t DESCENDING: per-bucket entries are sorted
+                # longest-first, so later (lower-t) hits are longer and
+                # simply overwrite — no random `mlen[oh]` guard gather,
+                # which dominated the loop (bucket symbols are all >= 3
+                # bytes, so overwriting a 1/2-byte LUT hit is correct)
                 neg = -cnt_s
-                for t in range(int(cnt_s[0])):
+                for t in range(int(cnt_s[0]) - 1, -1, -1):
                     m = int(np.searchsorted(neg, -(t + 1), side="right"))
                     e = base_s[:m] + t
                     ln_e = self._blen[e]
                     shift = (np.int64(8) * (np.int64(MAX_LEN) - ln_e)).astype(U64)
                     oh = order[:m]
                     hit = ((full_s[:m] >> shift) << shift == self._bkey[e]) \
-                        & (oh + ln_e <= n) & (mlen[oh] < ln_e)
+                        & (oh + ln_e <= n)
                     ph = oh[hit]
                     mlen[ph] = ln_e[hit]
                     mcode[ph] = self._bcode[e[hit]]
