@@ -101,6 +101,22 @@ def sql_token_count(sp: bool) -> str:
             f"FROM documents")
 
 
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def sql_token_count_bpe(sp: bool) -> str:
+    """BPE-ish regex tokenization (runs of letters, runs of digits,
+    single other non-space chars) — the second token-counting mode the
+    training-data brief asks for; Java and RE2-style regex agree on
+    this pattern (verified value-for-value)."""
+    if sp:
+        n = f"size(regexp_extract_all(text, '{_BPE_PATTERN}', 0))"
+    else:
+        n = f"len(regexp_extract_all(text, '{_BPE_PATTERN}'))"
+    return (f"SELECT doc_id, CAST({n} AS INT) AS n_bpe_tokens, "
+            f"CAST(length(text) AS BIGINT) AS n_chars_q FROM documents")
+
+
 _STOPWORDS = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
 
 
@@ -811,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tokens_projection"] = q_tokens_projection
     q["decode_pruned"] = q_decode_pruned
     q["token_count"] = _sql_query(sql_token_count, ["documents"])
+    q["token_count_bpe"] = _sql_query(sql_token_count_bpe, ["documents"])
     q["text_quality"] = _sql_query(sql_text_quality, ["documents"])
     q["lang_id"] = _sql_query(sql_lang_id, ["documents"])
     q["fingerprint"] = _sql_query(sql_fingerprint, ["documents"])
@@ -851,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
                           + " WHERE CAST(doc_id AS VARCHAR) >= '1'"
                             " AND CAST(doc_id AS VARCHAR) < '3'")
     o["token_count"] = sql_token_count(False)
+    o["token_count_bpe"] = sql_token_count_bpe(False)
     o["text_quality"] = sql_text_quality(False)
     o["lang_id"] = sql_lang_id(False)
     o["fingerprint"] = sql_fingerprint(False)
