@@ -172,3 +172,35 @@ def test_reader_prunes_pyarrow_written_stats(tmp_path):
     got = read_orc(path, predicate={"k": (5, 10)})
     assert got.num_rows in (0, n)  # single stripe: kept (conservative)
     assert read_orc(path, predicate={"k": (10**9, None)}).num_rows == 0
+
+
+def test_write_property_random_tables(tmp_path):
+    """Randomized schema/content round-trips (bounded): every generated
+    table must survive write -> pyarrow C++ read AND write -> own-reader
+    read value-identically, across null densities and stripe splits."""
+    rng = np.random.default_rng(2024)
+    for trial in range(12):
+        n = int(rng.integers(1, 3000))
+        null_p = float(rng.choice([0.0, 0.1, 0.5]))
+        cols = {}
+        def nulls(vals):
+            if null_p == 0.0:
+                return vals
+            mask = rng.random(n) < null_p
+            return [None if m else v for v, m in zip(vals, mask)]
+        cols["i"] = pa.array(nulls(rng.integers(-2**40, 2**40, n).tolist()),
+                             pa.int64())
+        cols["z"] = pa.array(nulls(((rng.zipf(1.3, n) - 1) % 50257)
+                                   .astype(np.int32).tolist()), pa.int32())
+        cols["s"] = pa.array(nulls([f"v{int(x)}" for x in
+                                    rng.integers(0, 50, n)]), pa.string())
+        cols["f"] = pa.array(nulls(rng.standard_normal(n).tolist()),
+                             pa.float64())
+        cols["b"] = pa.array(nulls(rng.integers(0, 2, n).astype(bool)
+                                   .tolist()), pa.bool_())
+        tbl = pa.table(cols)
+        path = str(tmp_path / f"prop{trial}.orc")
+        write_orc(path, tbl, compression=int(rng.integers(0, 2)),
+                  stripe_rows=int(rng.integers(100, 2000)))
+        _assert_tables_equal(po.ORCFile(path).read(), tbl, f"prop{trial}:pa")
+        _assert_tables_equal(read_orc(path), tbl, f"prop{trial}:own")
