@@ -84,3 +84,19 @@ def test_num_rows_on_truncated_header():
     assert stripe_num_rows(blob) == 5000
     with pytest.raises(Exception):
         stripe_num_rows(b"OSP1")  # header cut mid-varint
+
+
+def test_stripe_bytes_deterministic():
+    """Resume correctness depends on stripe bytes being a pure function
+    of the input rows (BASELINE north_rule: idempotent resume) —
+    identical batches must encode to identical blobs across calls."""
+    rng = np.random.default_rng(7)
+    b = pa.record_batch({
+        "k": pa.array(((rng.zipf(1.3, 20_000) - 1) % 50257).astype(np.int32)),
+        "s": pa.array([f"doc{i:06d}" for i in range(20_000)]),
+        "f": pa.array(rng.standard_normal(20_000)),
+    })
+    blobs = {encode_stripe(b) for _ in range(3)}
+    assert len(blobs) == 1
+    grouped = {encode_stripe_rowgroups(b, group_rows=4096) for _ in range(3)}
+    assert len(grouped) == 1
