@@ -448,6 +448,12 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
                     np.ascontiguousarray(zzg[bnd[k]: bnd[k] + ln]).astype(
                         U64, copy=False), w)
                 continue
+            # the 95th-percentile stop bounds outliers to <=5% of a
+            # <=512-value block (<=25 patches); if that invariant ever
+            # breaks, fail loudly instead of ORing the count into the
+            # 5-bit pl field and silently corrupting the gap-width bits
+            assert len(patches) <= 31, \
+                f"patched-base patch count {len(patches)} overflows 5-bit field"
             base = int(vmin[k])
             base_bit_width = get_closest_fixed_bits(bits_used_scalar(abs(base)) + 1)
             base_byte_width = max((base_bit_width + 7) // 8, 1)

@@ -216,7 +216,8 @@ def read_metadata(path: str) -> OrcMeta:
 # ---------------------------------------------------------------------------
 
 def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
-    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)})"""
+    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)},
+    writer_tz or None)"""
     start = si["offset"]
     body_len = si["index_length"] + si["data_length"]
     foot_raw = data[start + body_len: start + body_len + si["footer_length"]]
@@ -240,7 +241,47 @@ def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
     for ci, craw in enumerate(foot.get(2, [])):
         c = _pb_parse(craw)
         encodings[ci] = (_one(c, 1), _one(c, 2))
-    return streams, encodings
+    # StripeFooter field 3: writerTimezone.  Files written by Java/Hive
+    # in non-UTC sessions store TIMESTAMP values in the writer's frame;
+    # None / "" / UTC / GMT all mean no conversion needed.
+    tz_raw = _one(foot, 3, b"")
+    writer_tz = tz_raw.decode() if tz_raw else None
+    if writer_tz in ("UTC", "GMT", ""):
+        writer_tz = None
+    return streams, encodings, writer_tz
+
+
+_ORC_EPOCH_UTC = 1420070400  # 2015-01-01T00:00:00Z, seconds since unix epoch
+
+
+def _writer_tz_base_seconds(tz_name: str) -> int:
+    """Seconds since unix epoch of 2015-01-01 00:00:00 in the writer's
+    timezone (`src/array_decoder/timestamp.rs:133-145`)."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+    return int(datetime(2015, 1, 1, tzinfo=ZoneInfo(tz_name)).timestamp())
+
+
+def _tz_to_utc_ns(decoded_ns: np.ndarray, tz_name: str) -> np.ndarray:
+    """Convert TIMESTAMP values decoded against the UTC 2015 epoch into
+    their correct UTC instants for a non-UTC writerTimezone.
+
+    Mirrors `src/array_decoder/timestamp.rs:236-291`: re-base to the
+    writer-zone epoch, then shift each value by the zone's UTC offset at
+    that instant (DST-aware per value).  Offsets are resolved once per
+    unique second — this is the correctness-oracle read path, not the
+    scan hot path."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+    tz = ZoneInfo(tz_name)
+    base = _writer_tz_base_seconds(tz_name)
+    ts = decoded_ns + np.int64(base - _ORC_EPOCH_UTC) * np.int64(1_000_000_000)
+    secs = ts // np.int64(1_000_000_000)
+    uniq, inv = np.unique(secs, return_inverse=True)
+    offs = np.array(
+        [int(datetime.fromtimestamp(int(s), timezone.utc).astimezone(tz)
+             .utcoffset().total_seconds()) for s in uniq], dtype=np.int64)
+    return ts + offs[inv] * np.int64(1_000_000_000)
 
 
 def _ints(buf, n: int, enc: int, signed: bool) -> np.ndarray:
@@ -257,7 +298,8 @@ def _respace(vals: np.ndarray, validity, n: int) -> tuple[np.ndarray, np.ndarray
     return out, ~validity
 
 
-def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Array:
+def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
+                   writer_tz: str | None = None) -> pa.Array:
     t = meta.types[cid]
     kind = t["kind"]
     enc, dict_size = encodings.get(cid, (ENC_DIRECT, 0))
@@ -277,7 +319,7 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Ar
     if kind == TK_STRUCT:
         children, names = [], []
         for sub, fname in zip(t["subtypes"], t["field_names"]):
-            children.append(_decode_column(sub, meta, streams, encodings, n_valid))
+            children.append(_decode_column(sub, meta, streams, encodings, n_valid, writer_tz))
             names.append(fname)
         st = pa.StructArray.from_arrays(children, names)
         if validity is None:
@@ -299,10 +341,10 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Ar
             mask = pa.array(~validity)
         poff = pa.array(offsets.astype(np.int32), pa.int32())
         if kind == TK_LIST:
-            child = _decode_column(t["subtypes"][0], meta, streams, encodings, total)
+            child = _decode_column(t["subtypes"][0], meta, streams, encodings, total, writer_tz)
             return pa.ListArray.from_arrays(poff, child, mask=mask)
-        keys = _decode_column(t["subtypes"][0], meta, streams, encodings, total)
-        vals = _decode_column(t["subtypes"][1], meta, streams, encodings, total)
+        keys = _decode_column(t["subtypes"][0], meta, streams, encodings, total, writer_tz)
+        vals = _decode_column(t["subtypes"][1], meta, streams, encodings, total, writer_tz)
         arr = pa.MapArray.from_arrays(poff, keys, vals)
         if mask is not None:
             idx = np.arange(n, dtype=np.int64)
@@ -372,6 +414,8 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int) -> pa.Ar
         return arr.take(pa.array(idx, pa.int64(), mask=~validity))
     if kind in (TK_TIMESTAMP, TK_TIMESTAMP_INSTANT):
         ns = timestamp_decode(data(), data(K_SECONDARY), n_valid)
+        if kind == TK_TIMESTAMP and writer_tz is not None:
+            ns = _tz_to_utc_ns(ns, writer_tz)
         v, m = _respace(ns, validity, n)
         return pa.array(v, pa.int64(), mask=m).cast(pa.timestamp("ns"))
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
@@ -455,10 +499,10 @@ def read_orc(path: str, columns: list[str] | None = None,
                         break
             if skip:
                 continue
-        streams, encodings = _stripe_streams(data, meta, si)
+        streams, encodings, writer_tz = _stripe_streams(data, meta, si)
         n = si["n_rows"]
         cols = [_decode_column(root["subtypes"][i], meta, streams,
-                               encodings, n) for i in want]
+                               encodings, n, writer_tz) for i in want]
         batches.append(pa.table(cols, names=[names[i] for i in want]))
     if not batches:
         # typed empty result (null-typed columns would poison downstream

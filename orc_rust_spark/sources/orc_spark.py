@@ -68,12 +68,28 @@ def read_orc_spark(spark: SparkSession, path: str,
     return plan.mapInArrow(scan, out_schema)
 
 
+def _ns_to_us(t: pa.DataType) -> pa.DataType:
+    """ORC timestamps are ns-precision; Spark's Arrow bridge wants µs.
+    Recurses through struct/list/map so nested timestamps normalize
+    too (a top-level-only rewrite left ns batches that failed the
+    mapInArrow schema match)."""
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return pa.timestamp("us")
+    if pa.types.is_list(t):
+        return pa.list_(_ns_to_us(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_ns_to_us(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_ns_to_us(t.key_type), _ns_to_us(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _ns_to_us(f.type), f.nullable)
+                          for f in t])
+    return t
+
+
 def _normalize_schema(schema: pa.Schema) -> pa.Schema:
-    """ORC timestamps are ns-precision; Spark's Arrow bridge wants µs."""
-    return pa.schema([
-        pa.field(f.name, pa.timestamp("us"))
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns" else f
-        for f in schema])
+    return pa.schema([pa.field(f.name, _ns_to_us(f.type), f.nullable)
+                      for f in schema])
 
 
 def _normalize(tbl: pa.Table) -> pa.Table:

@@ -196,8 +196,27 @@ def _binary_parts(valid: pa.Array):
     return blob, np.diff(offs)
 
 
+def _utc_to_writer_frame_us(us: np.ndarray, tz_name: str) -> np.ndarray:
+    """Inverse of the reader's writer-timezone conversion: treat each UTC
+    µs instant's wall clock as local time in `tz_name` and return the
+    corresponding instant (what a Java/Hive writer in that session zone
+    stores).  Resolved once per unique second; DST-ambiguous wall times
+    take the fold=0 (pre-transition) reading, matching `chrono-tz`'s
+    `.single()` default in `src/array_decoder/timestamp.rs:252-276`."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+    tz = ZoneInfo(tz_name)
+    secs = us // np.int64(1_000_000)
+    uniq, inv = np.unique(secs, return_inverse=True)
+    shift = np.array(
+        [int(datetime.fromtimestamp(int(s), timezone.utc)
+             .replace(tzinfo=tz).timestamp()) - int(s) for s in uniq],
+        dtype=np.int64)
+    return us + shift[inv] * np.int64(1_000_000)
+
+
 def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
-                 parent_valid=None) -> None:
+                 writer_tz: str | None = None) -> None:
     """Emit streams for column `cid` and recurse into children.
 
     ORC stores child values only for rows where the parent is present,
@@ -218,7 +237,7 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         enc = ENC_DIRECT
         for sub, i in zip(types[cid][1], range(len(types[cid][1]))):
             child = valid.field(i) if cid != 0 else arr.field(i)
-            _encode_tree(child, sub, types, out_streams, encodings)
+            _encode_tree(child, sub, types, out_streams, encodings, writer_tz)
     elif kind == TK_LIST:
         lv = valid.cast(pa.large_list(valid.type.value_type)) \
             if pa.types.is_list(valid.type) else valid
@@ -226,7 +245,7 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         out_streams.append((cid, K_LENGTH,
                             rle_v2_encode(lengths, signed=False, interop=True)))
         _encode_tree(lv.flatten(), types[cid][1][0], types, out_streams,
-                     encodings)
+                     encodings, writer_tz)
     elif kind == TK_MAP:
         t = valid.type
         lv = valid.cast(pa.list_(pa.struct([("key", t.key_type),
@@ -236,9 +255,9 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
                             rle_v2_encode(lengths, signed=False, interop=True)))
         entries = lv.flatten()
         _encode_tree(entries.field(0), types[cid][1][0], types, out_streams,
-                     encodings)
+                     encodings, writer_tz)
         _encode_tree(entries.field(1), types[cid][1][1], types, out_streams,
-                     encodings)
+                     encodings, writer_tz)
     elif kind == TK_BOOL:
         enc = ENC_DIRECT
         vals = valid.to_numpy(zero_copy_only=False).astype(bool)
@@ -267,6 +286,11 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
     elif kind == TK_TIMESTAMP:
         us = valid.cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
+        if writer_tz is not None:
+            from .orc_reader import _ORC_EPOCH_UTC, _writer_tz_base_seconds
+            base_shift = (_writer_tz_base_seconds(writer_tz)
+                          - _ORC_EPOCH_UTC) * 1_000_000
+            us = _utc_to_writer_frame_us(us, writer_tz) - np.int64(base_shift)
         data, sec = timestamp_encode_us(us)
         out_streams.append((cid, K_DATA, data))
         out_streams.append((cid, K_SECONDARY, sec))
@@ -312,12 +336,19 @@ class OrcWriter:
     """Streaming ORC writer: one stripe per `write_batch` call."""
 
     def __init__(self, path: str, schema: pa.Schema, compression: int = 0,
-                 block_size: int = 256 * 1024):
+                 block_size: int = 256 * 1024,
+                 writer_timezone: str = "UTC"):
         self.types = _build_types(schema)  # validates types up front
         self.path = path
         self.schema = schema
         self.compression = compression
         self.block_size = block_size
+        self.writer_timezone = writer_timezone
+        # tz name must resolve NOW (a bad name failing at read time, or
+        # only in external readers, would corrupt every stripe silently)
+        if writer_timezone not in ("UTC", "GMT"):
+            from zoneinfo import ZoneInfo
+            ZoneInfo(writer_timezone)
         self._f = open(path, "wb")
         self._f.write(b"ORC")
         self._offset = 3
@@ -338,7 +369,9 @@ class OrcWriter:
         stats: dict[int, bytes] = {}
         for i, sub in enumerate(self.types[0][1]):
             col = batch.column(i)
-            _encode_tree(col, sub, self.types, streams, encodings)
+            wtz = self.writer_timezone \
+                if self.writer_timezone not in ("UTC", "GMT") else None
+            _encode_tree(col, sub, self.types, streams, encodings, wtz)
             stats[sub] = _column_statistics(col, self.types[sub][0])
         self._stripe_stats.append(stats)
         streams.sort(key=lambda s: (s[0], s[1]))
@@ -360,7 +393,8 @@ class OrcWriter:
             if dict_size:
                 _pb_field_varint(enc, 2, dict_size)
             _pb_field_bytes(foot, 2, bytes(enc))
-        _pb_field_bytes(foot, 3, b"UTC")  # writerTimezone
+        _pb_field_bytes(foot, 3,
+                        self.writer_timezone.encode())  # writerTimezone
         foot_w = self._wrap(bytes(foot))
 
         self._f.write(data)

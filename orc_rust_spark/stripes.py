@@ -701,7 +701,7 @@ def decode_stripe(blob, columns: list[str] | None = None) -> pa.RecordBatch:
 def stripe_num_rows(blob) -> int:
     buf = memoryview(blob)
     if bytes(buf[:4]) == MAGIC_ROWGROUP:
-        meta = _rowgroup_meta(buf)
+        meta, _ = _rowgroup_meta(buf)
         return sum(g["n_rows"] for g in meta)
     n_rows, _ = read_varint(buf, 4)
     return n_rows
@@ -769,6 +769,19 @@ def encode_stripe_rowgroups(batch: pa.RecordBatch,
         cb = c.encode()
         write_varint(header, len(cb))
         header += cb
+        # 1-byte type tag so the decode side can coerce predicate bounds
+        # into the SAME order-preserving byte encoding the stats used —
+        # an int bound against a float column compared sign-biased-int
+        # bytes to IEEE-total-order bytes and silently dropped rows
+        ft = batch.schema.field(c).type
+        if pa.types.is_integer(ft) or pa.types.is_boolean(ft):
+            header.append(ord("i"))
+        elif pa.types.is_floating(ft):
+            header.append(ord("f"))
+        elif pa.types.is_string(ft) or pa.types.is_large_string(ft):
+            header.append(ord("s"))
+        else:
+            raise TypeError(f"stat column {c!r} has unsupported type {ft}")
     groups = bytearray()
     blobs: list[bytes] = []
     n_groups = 0
@@ -803,10 +816,14 @@ def _rowgroup_meta(buf) -> list[dict]:
     n_groups, pos = read_varint(buf, pos)
     n_stat, pos = read_varint(buf, pos)
     stat_cols = []
+    stat_types: dict[str, str] = {}
     for _ in range(n_stat):
         ln, pos = read_varint(buf, pos)
-        stat_cols.append(bytes(buf[pos: pos + ln]).decode())
+        name = bytes(buf[pos: pos + ln]).decode()
         pos += ln
+        stat_cols.append(name)
+        stat_types[name] = chr(buf[pos])
+        pos += 1
     metas = []
     for _ in range(n_groups):
         n_rows, pos = read_varint(buf, pos)
@@ -825,7 +842,35 @@ def _rowgroup_meta(buf) -> list[dict]:
     for m in metas:
         m["offset"] = off
         off += m["blob_len"]
-    return metas
+    return metas, stat_types
+
+
+def _coerce_bound(v, tag: str, is_lo: bool):
+    """Coerce a predicate bound to the stat column's type so its
+    `_stat_bytes` encoding is comparable with the stored min/max.
+    Integer columns accept float bounds via the exact conservative
+    rounding (mx < lo  <=>  mx < ceil(lo) for integer mx); anything
+    else mismatched raises instead of silently mis-pruning."""
+    if tag == "s":
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bytes):
+            return v
+        raise TypeError(f"string stat column needs str bound, got {type(v)}")
+    if tag == "f":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(f"float stat column needs numeric bound, got {type(v)}")
+        return float(v)
+    if tag == "i":
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, float):
+            import math
+            return math.ceil(v) if is_lo else math.floor(v)
+        raise TypeError(f"int stat column needs numeric bound, got {type(v)}")
+    raise TypeError(f"unknown stat type tag {tag!r}")
 
 
 def decode_stripe_rowgroups(blob, columns: list[str] | None = None,
@@ -839,19 +884,29 @@ def decode_stripe_rowgroups(blob, columns: list[str] | None = None,
     buf = memoryview(blob)
     if bytes(buf[:4]) != MAGIC_ROWGROUP:
         raise ValueError("bad row-group stripe magic")
-    metas = _rowgroup_meta(buf)
+    metas, stat_types = _rowgroup_meta(buf)
+    # coerce + encode bounds ONCE, against the stat column's stored type
+    enc_pred: dict[str, tuple] = {}
+    if predicate:
+        for c, (lo, hi) in predicate.items():
+            if c not in stat_types:
+                continue  # no stats for this column -> cannot prune on it
+            tag = stat_types[c]
+            enc_pred[c] = (
+                _stat_bytes(_coerce_bound(lo, tag, True)) if lo is not None else None,
+                _stat_bytes(_coerce_bound(hi, tag, False)) if hi is not None else None)
     batches = []
     n_scanned = 0
     for m in metas:
         keep = True
-        if predicate:
-            for c, (lo, hi) in predicate.items():
+        if enc_pred:
+            for c, (lo, hi) in enc_pred.items():
                 if c not in m["stats"]:
                     continue
                 mn, mx = m["stats"][c]
-                if lo is not None and mx < _stat_bytes(lo):
+                if lo is not None and mx < lo:
                     keep = False
-                if hi is not None and mn > _stat_bytes(hi):
+                if hi is not None and mn > hi:
                     keep = False
         if keep:
             sub = bytes(buf[m["offset"]: m["offset"] + m["blob_len"]])

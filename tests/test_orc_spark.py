@@ -60,6 +60,29 @@ def test_orc_file_stats(spark, tmp_path):
     assert set(st["columns"]) == set(src.columns)
 
 
+def test_read_nested_timestamp_normalizes(spark, tmp_path):
+    """ns->us normalization must recurse into struct/list fields, not
+    just top-level timestamps (ADVICE r2: nested ns broke the
+    mapInArrow schema match)."""
+    import datetime as dt
+    out = str(tmp_path / "orc_nested_ts")
+    import os
+    os.makedirs(out)
+    from orc_rust_spark.sources.orc_writer import write_orc
+    ts = [dt.datetime(2020, 5, i + 1, 12, 30) for i in range(5)]
+    tbl = pa.table({
+        "k": pa.array(range(5), pa.int64()),
+        "ev": pa.array([{"at": t, "n": i} for i, t in enumerate(ts)],
+                       pa.struct([("at", pa.timestamp("us")),
+                                  ("n", pa.int64())])),
+        "times": pa.array([[t] for t in ts], pa.list_(pa.timestamp("us"))),
+    })
+    write_orc(os.path.join(out, "part-0.orc"), tbl)
+    rows = read_orc_spark(spark, out).orderBy("k").collect()
+    assert [r.ev.at for r in rows] == ts
+    assert [r.times[0] for r in rows] == ts
+
+
 def test_read_pushes_projection_through_select(spark, tmp_path):
     out = str(tmp_path / "orc_proj")
     src = spark.read.parquet(f"{SF}/nation.parquet")
