@@ -802,6 +802,95 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# C9: RLEv1 decode on a real v0.11 ORC fixture
+# ---------------------------------------------------------------------------
+
+_RLEV1_FIXTURE = "/root/reference/tests/basic/data/demo-11-zlib.orc"
+
+
+def q_rle_v1_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLEv1 integer decode (C9, `kernels/rle_v1.py`) on a REAL ORC
+    v0.11 file: `demo-11-zlib.orc` (1,920,800 rows, all int streams and
+    string-dictionary indices RLEv1-encoded, chunked zlib), the same
+    fixture the reference asserts in `tests/basic/main.rs:446-472`.
+    Decoded distributed through `read_orc_spark`, then aggregated to a
+    40-group summary whose sums over the row-id column pin exact group
+    membership.  The oracle is the same aggregate over the pyarrow C++
+    decode of the fixture, inlined as VALUES — the reference's own
+    golden `expected_file_output` strategy (`tests/basic/main.rs:618+`).
+    """
+    from .sources.orc_spark import read_orc_spark
+    df = read_orc_spark(spark, _RLEV1_FIXTURE)
+    return (df.groupBy(F.col("_col1").alias("sex"),
+                       F.col("_col2").alias("marital"),
+                       F.col("_col5").alias("health"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("_col0").alias("sum_id"),
+                 F.min("_col0").cast("long").alias("min_id"),
+                 F.max("_col0").cast("long").alias("max_id"),
+                 F.sum("_col4").alias("sum_income"),
+                 F.countDistinct("_col3").alias("n_edu"),
+                 F.sum(F.length("_col3")).alias("sum_edu_len"),
+                 F.sum(F.col("_col6") + F.col("_col7") + F.col("_col8"))
+                 .alias("sum_codes")))
+
+
+# golden aggregate decoded independently by pyarrow's C++ ORC reader
+_RLEV1_ORACLE = (
+    "SELECT sex, marital, health, CAST(n AS BIGINT) AS n, "
+    "CAST(sum_id AS BIGINT) AS sum_id, CAST(min_id AS BIGINT) AS min_id, "
+    "CAST(max_id AS BIGINT) AS max_id, "
+    "CAST(sum_income AS BIGINT) AS sum_income, "
+    "CAST(n_edu AS BIGINT) AS n_edu, "
+    "CAST(sum_edu_len AS BIGINT) AS sum_edu_len, "
+    "CAST(sum_codes AS BIGINT) AS sum_codes FROM (VALUES "
+    """    ('F', 'D', 'Good', 48020, 46017614020, 6, 1916596, 252105000, 7, 459620, 432180),
+    ('F', 'D', 'High Risk', 48020, 46152070020, 2806, 1919396, 252105000, 7, 459620, 432180),
+    ('F', 'D', 'Low Risk', 48020, 46084842020, 1406, 1917996, 252105000, 7, 459620, 432180),
+    ('F', 'D', 'Unknown', 48020, 46219298020, 4206, 1920796, 252105000, 7, 459620, 432180),
+    ('F', 'M', 'Good', 48020, 46017421940, 2, 1916592, 252105000, 7, 459620, 432180),
+    ('F', 'M', 'High Risk', 48020, 46151877940, 2802, 1919392, 252105000, 7, 459620, 432180),
+    ('F', 'M', 'Low Risk', 48020, 46084649940, 1402, 1917992, 252105000, 7, 459620, 432180),
+    ('F', 'M', 'Unknown', 48020, 46219105940, 4202, 1920792, 252105000, 7, 459620, 432180),
+    ('F', 'S', 'Good', 48020, 46017517980, 4, 1916594, 252105000, 7, 459620, 432180),
+    ('F', 'S', 'High Risk', 48020, 46151973980, 2804, 1919394, 252105000, 7, 459620, 432180),
+    ('F', 'S', 'Low Risk', 48020, 46084745980, 1404, 1917994, 252105000, 7, 459620, 432180),
+    ('F', 'S', 'Unknown', 48020, 46219201980, 4204, 1920794, 252105000, 7, 459620, 432180),
+    ('F', 'U', 'Good', 48020, 46017806100, 10, 1916600, 252105000, 7, 459620, 432180),
+    ('F', 'U', 'High Risk', 48020, 46152262100, 2810, 1919400, 252105000, 7, 459620, 432180),
+    ('F', 'U', 'Low Risk', 48020, 46085034100, 1410, 1918000, 252105000, 7, 459620, 432180),
+    ('F', 'U', 'Unknown', 48020, 46219490100, 4210, 1920800, 252105000, 7, 459620, 432180),
+    ('F', 'W', 'Good', 48020, 46017710060, 8, 1916598, 252105000, 7, 459620, 432180),
+    ('F', 'W', 'High Risk', 48020, 46152166060, 2808, 1919398, 252105000, 7, 459620, 432180),
+    ('F', 'W', 'Low Risk', 48020, 46084938060, 1408, 1917998, 252105000, 7, 459620, 432180),
+    ('F', 'W', 'Unknown', 48020, 46219394060, 4208, 1920798, 252105000, 7, 459620, 432180),
+    ('M', 'D', 'Good', 48020, 46017566000, 5, 1916595, 252105000, 7, 459620, 432180),
+    ('M', 'D', 'High Risk', 48020, 46152022000, 2805, 1919395, 252105000, 7, 459620, 432180),
+    ('M', 'D', 'Low Risk', 48020, 46084794000, 1405, 1917995, 252105000, 7, 459620, 432180),
+    ('M', 'D', 'Unknown', 48020, 46219250000, 4205, 1920795, 252105000, 7, 459620, 432180),
+    ('M', 'M', 'Good', 48020, 46017373920, 1, 1916591, 252105000, 7, 459620, 432180),
+    ('M', 'M', 'High Risk', 48020, 46151829920, 2801, 1919391, 252105000, 7, 459620, 432180),
+    ('M', 'M', 'Low Risk', 48020, 46084601920, 1401, 1917991, 252105000, 7, 459620, 432180),
+    ('M', 'M', 'Unknown', 48020, 46219057920, 4201, 1920791, 252105000, 7, 459620, 432180),
+    ('M', 'S', 'Good', 48020, 46017469960, 3, 1916593, 252105000, 7, 459620, 432180),
+    ('M', 'S', 'High Risk', 48020, 46151925960, 2803, 1919393, 252105000, 7, 459620, 432180),
+    ('M', 'S', 'Low Risk', 48020, 46084697960, 1403, 1917993, 252105000, 7, 459620, 432180),
+    ('M', 'S', 'Unknown', 48020, 46219153960, 4203, 1920793, 252105000, 7, 459620, 432180),
+    ('M', 'U', 'Good', 48020, 46017758080, 9, 1916599, 252105000, 7, 459620, 432180),
+    ('M', 'U', 'High Risk', 48020, 46152214080, 2809, 1919399, 252105000, 7, 459620, 432180),
+    ('M', 'U', 'Low Risk', 48020, 46084986080, 1409, 1917999, 252105000, 7, 459620, 432180),
+    ('M', 'U', 'Unknown', 48020, 46219442080, 4209, 1920799, 252105000, 7, 459620, 432180),
+    ('M', 'W', 'Good', 48020, 46017662040, 7, 1916597, 252105000, 7, 459620, 432180),
+    ('M', 'W', 'High Risk', 48020, 46152118040, 2807, 1919397, 252105000, 7, 459620, 432180),
+    ('M', 'W', 'Low Risk', 48020, 46084890040, 1407, 1917997, 252105000, 7, 459620, 432180),
+    ('M', 'W', 'Unknown', 48020, 46219346040, 4207, 1920797, 252105000, 7, 459620, 432180)""" 
+    ") AS t(sex, marital, health, n, sum_id, min_id, max_id, sum_income, n_edu, sum_edu_len, sum_codes)"
+)
+
+
 def _sql_query(builder: Callable[[bool], str], tables: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir, tables)
@@ -842,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup"] = q_embedding_near_dup
     q["multimodal_features"] = q_multimodal_features
     q["frame_sample"] = q_frame_sample
+    q["rle_v1_fixture"] = q_rle_v1_fixture
     q["events_json"] = _sql_query(sql_events_json, ["events"])
     q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
     return q
@@ -859,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_compressed"] = _TOKENS_ORACLE_BASE
     o["decode_rowgroup_pruned"] = _ROWGROUP_ORACLE
     o["roundtrip_orc_file"] = _ORC_FILE_ORACLE
+    o["rle_v1_fixture"] = _RLEV1_ORACLE
     o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE
     o["streaming_encode"] = _TOKENS_ORACLE_BASE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
