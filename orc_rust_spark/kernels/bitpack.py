@@ -16,8 +16,12 @@ from .util import U64
 
 
 def pack_ints(values: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values at `width` bits each, MSB-first across bytes."""
-    v = np.ascontiguousarray(values, dtype=U64)
+    """Pack non-negative ints at `width` bits each, MSB-first across
+    bytes.  uint32 input stays in the 32-bit domain for width <= 32 —
+    the u64 upcast was pure memory traffic on the int32 token path."""
+    v = np.ascontiguousarray(values)
+    if v.dtype != U64 and not (v.dtype == np.uint32 and width <= 32):
+        v = v.astype(U64)
     n = len(v)
     if n == 0:
         return b""
@@ -34,11 +38,15 @@ def pack_ints(values: np.ndarray, width: int) -> bytes:
         if width == 64:
             return v.astype(">u8").tobytes()
         nbytes = width // 8
+        if v.dtype == np.uint32:
+            be = v.astype(">u4").view(np.uint8).reshape(n, 4)
+            return be[:, 4 - nbytes:].tobytes()
         be = v.astype(">u8").view(np.uint8).reshape(n, 8)
         return be[:, 8 - nbytes :].tobytes()
     # general path: expand each value to `width` bits, MSB first
-    shifts = np.arange(width - 1, -1, -1, dtype=U64)
-    bits = ((v[:, None] >> shifts) & U64(1)).astype(np.uint8)
+    one = v.dtype.type(1)
+    shifts = np.arange(width - 1, -1, -1, dtype=v.dtype)
+    bits = ((v[:, None] >> shifts) & one).astype(np.uint8)
     return np.packbits(bits.reshape(-1)).tobytes()
 
 
@@ -82,7 +90,9 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
     `width` bits, each segment zero-padded to its own byte boundary —
     i.e. the concatenation of per-segment `pack_ints` results, computed
     in one vectorized pass.  Returns (blob, byte_offsets[K+1])."""
-    v = np.ascontiguousarray(values, dtype=U64)
+    v = np.ascontiguousarray(values)
+    if v.dtype != U64 and not (width <= 32 and v.dtype == np.uint32):
+        v = v.astype(U64)
     K = len(lens)
     offs = np.zeros(K + 1, dtype=np.int64)
     if width % 8 == 0:
@@ -93,6 +103,8 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
     n = len(v)
     if n == 0:
         return b"", offs
+    if width <= 16:
+        return _pack_groups8(v, lens, width, offs), offs
     starts = np.zeros(K, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     # int32 index domain halves scatter traffic; guard on total bit
@@ -105,12 +117,82 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
     # one scatter per bit position keeps peak memory at O(n), not O(n*w);
     # uint32 value domain for the common width<=32 case (values fit
     # `width` bits by precondition)
-    vv = v.astype(np.uint32) if width <= 32 else v
+    vv = v.astype(np.uint32) if width <= 32 and v.dtype != np.uint32 else v
     one = vv.dtype.type(1)
     for k in range(width):
         bits[val_bit + k] = ((vv >> vv.dtype.type(width - 1 - k)) & one) \
             .astype(np.uint8)
     return np.packbits(bits).tobytes(), offs
+
+
+def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
+                  offs: np.ndarray) -> bytes:
+    """Segmented pack for width <= 16 via u64 group assembly: 8 values of
+    w bits are exactly w bytes, so each zero-padded 8-value group folds
+    into one u64 (two for w > 8) with 8 shift-adds over n/8-sized arrays
+    — far less memory traffic than the per-bit scatter path (the
+    patched-base stripped-value pack at w=4..7 dominated token encode).
+
+    The common shape — every segment a multiple of 8 values (512-value
+    RLEv2 blocks) — skips the padding scatter and truncation mask
+    entirely; those index arrays were most of the path's cost."""
+    K = len(lens)
+    n = len(v)
+    aligned_lens = bool((lens % 8 == 0).all())
+    if aligned_lens:
+        n_pad = n
+        pv = v.astype(U64, copy=False)
+    else:
+        groups = (lens + 7) // 8
+        n_pad = int(groups.sum()) * 8
+        it = np.int32 if n_pad < 2**31 else np.int64
+        pv = np.zeros(n_pad, dtype=U64)
+        pstart = np.zeros(K, dtype=it)
+        np.cumsum((groups[:-1] * 8).astype(it), out=pstart[1:])
+        starts = np.zeros(K, dtype=it)
+        np.cumsum(lens[:-1].astype(it), out=starts[1:])
+        tgt = (np.repeat(pstart, lens)
+               + (np.arange(n, dtype=it) - np.repeat(starts, lens)))
+        pv[tgt] = v  # upcasts u32 -> u64 in one pass
+    gm = pv.reshape(-1, 8)
+    if width <= 8:
+        # value i occupies bits [64 - (i+1)*w, 64 - i*w) of one u64
+        word = gm[:, 0] << U64(64 - width)
+        for i in range(1, 8):
+            word |= gm[:, i] << U64(64 - (i + 1) * width)
+        gbytes = word.astype(">u8").view(np.uint8).reshape(-1, 8)[:, :width]
+    else:
+        # 8 values span 8w <= 128 bits: word A holds bits [0, 64),
+        # word B bits [64, 8w) of the group's big-endian stream
+        A = np.zeros(gm.shape[0], dtype=U64)
+        B = np.zeros(gm.shape[0], dtype=U64)
+        for i in range(8):
+            lo, hi = i * width, (i + 1) * width
+            if hi <= 64:
+                A |= gm[:, i] << U64(64 - hi)
+            elif lo >= 64:
+                B |= gm[:, i] << U64(128 - hi)
+            else:  # straddles the word boundary
+                A |= gm[:, i] >> U64(hi - 64)
+                B |= gm[:, i] << U64(128 - hi)
+        gbytes = np.empty((gm.shape[0], width), dtype=np.uint8)
+        gbytes[:, :8] = A.astype(">u8").view(np.uint8).reshape(-1, 8)
+        gbytes[:, 8:] = B.astype(">u8").view(np.uint8) \
+            .reshape(-1, 8)[:, : width - 8]
+    if aligned_lens:
+        return gbytes.tobytes()
+    # per-segment truncation: padded groups emit ceil(lens/8)*w bytes,
+    # the true segment payload is ceil(lens*w/8) — drop the zero tail
+    pad_bytes = groups * width
+    true_bytes = np.diff(offs)
+    total_pad = int(pad_bytes.sum())
+    bt = np.int32 if total_pad < 2**31 else np.int64
+    bstarts = np.zeros(K, dtype=bt)
+    np.cumsum(pad_bytes[:-1].astype(bt), out=bstarts[1:])
+    within = (np.arange(total_pad, dtype=bt)
+              - np.repeat(bstarts, pad_bytes))
+    keep = within < np.repeat(true_bytes.astype(bt), pad_bytes)
+    return gbytes.reshape(-1)[keep].tobytes()
 
 
 def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,

@@ -135,6 +135,58 @@ def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
     return segs
 
 
+_EBW_LUT = np.zeros(65, dtype=np.int64)
+for _w in list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]:
+    _EBW_LUT[_w] = rle_v2_encode_bit_width(_w)
+del _w
+
+
+def _varint_matrix(zz: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128: uint64 values -> ((K, M) uint8 matrix, byte
+    lengths); row i's first len[i] bytes are the varint encoding
+    (low 7 bits first, 0x80 continuation), matching `write_varint`."""
+    zz = zz.astype(U64, copy=False)
+    vlen = np.maximum((bits_used(zz) + 6) // 7, 1).astype(np.int64)
+    K = len(zz)
+    M = int(vlen.max()) if K else 1
+    mat = np.empty((K, M), dtype=np.uint8)
+    for i in range(M):
+        mat[:, i] = ((zz >> U64(7 * i)) & U64(0x7F)).astype(np.uint8)
+    cont = np.arange(M, dtype=np.int64)[None, :] < (vlen - 1)[:, None]
+    mat |= (cont.astype(np.uint8) << 7)
+    return mat, vlen
+
+
+def _scatter_rows(out: np.ndarray, pos: np.ndarray, mat: np.ndarray,
+                  rlen: np.ndarray | None = None) -> None:
+    """Write row i's first rlen[i] bytes (all of them when rlen is None)
+    of `mat` into out[pos[i]:...] — one fancy scatter for the group."""
+    if not len(pos):
+        return
+    M = mat.shape[1]
+    idx = pos[:, None] + np.arange(M, dtype=np.int64)[None, :]
+    if rlen is None:
+        out[idx.reshape(-1)] = mat.reshape(-1)
+    else:
+        mask = np.arange(M, dtype=np.int64)[None, :] < rlen[:, None]
+        out[idx[mask]] = mat[mask]
+
+
+def _scatter_flat(out: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  blob: np.ndarray) -> None:
+    """Copy `blob` (the in-order concatenation of per-segment payloads of
+    byte lengths `lens`) to out at per-segment `starts`."""
+    total = int(lens.sum())
+    if not total:
+        return
+    it = np.int32 if len(out) < 2**31 else np.int64
+    src0 = np.zeros(len(lens), dtype=it)
+    np.cumsum(lens[:-1].astype(it), out=src0[1:])
+    tgt = (np.repeat(starts.astype(it), lens)
+           + (np.arange(total, dtype=it) - np.repeat(src0, lens)))
+    out[tgt] = blob[:total]
+
+
 def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
                         width_bits: int = 64, interop: bool = False) -> bytes:
     # int32-domain fast path: token data is array<int32>; keeping the
@@ -154,7 +206,8 @@ def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
     if n == 0:
         return b""
     segs = _segments(v)
-    parts: list[bytes | None] = [None] * len(segs)
+    S = len(segs)
+    seg_len = np.zeros(S, dtype=np.int64)
 
     lit_sids: list[int] = []
     run_sids: list[int] = []
@@ -168,39 +221,50 @@ def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
         else:
             lit_sids.append(si)
 
+    writers = []
     if run_sids:
-        _emit_runs(v, run_sids, np.array(run_a, dtype=np.int64),
-                   np.array(run_ln, dtype=np.int64), parts, signed)
+        writers.append(_plan_runs(
+            v, np.array(run_sids, dtype=np.int64),
+            np.array(run_a, dtype=np.int64),
+            np.array(run_ln, dtype=np.int64), seg_len, signed))
     if lit_sids:
-        _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
-                               narrow, interop)
-    return b"".join(parts)  # type: ignore[arg-type]
+        writers.append(_plan_literals(
+            v, segs, np.array(lit_sids, dtype=np.int64), seg_len, signed,
+            width_bits, narrow, interop))
+
+    pos = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(seg_len, out=pos[1:])
+    out = np.empty(int(pos[-1]), dtype=np.uint8)
+    for w in writers:
+        w(out, pos)
+    return out.tobytes()
 
 
-def _emit_runs(v, run_sids, r_a, r_ln, parts, signed) -> None:
-    """Vectorized short-repeat / fixed-delta emission for identical-value
+def _plan_runs(v, sids, r_a, r_ln, seg_len, signed):
+    """Vectorized short-repeat / fixed-delta planning for identical-value
     runs, grouped by value byte width (SR, `short_repeat.rs:65-81`) and
-    base varint length (FD, `delta.rs:146-159`)."""
+    base varint length (FD, `delta.rs:146-159`); returns the writer."""
     vals = v[r_a].astype(I64, copy=False)
     zz = zigzag_encode(vals) if signed else vals.astype(U64)
     bu = bits_used(zz)
     sr = r_ln <= SHORT_REPEAT_MAX_LENGTH
     be = zz.astype(">u8").view(np.uint8).reshape(-1, 8)
 
+    groups: list[tuple[np.ndarray, np.ndarray]] = []  # (sids, row matrix)
+
     bs = np.maximum((bu + 7) // 8, 1)
+    seg_len[sids[sr]] = 1 + bs[sr]
     for b in np.unique(bs[sr]):
         b = int(b)
         sel = np.nonzero(sr & (bs == b))[0]
         rows = np.empty((len(sel), 1 + b), dtype=np.uint8)
         rows[:, 0] = ((b - 1) << 3) | (r_ln[sel] - 3)
         rows[:, 1:] = be[sel][:, 8 - b:]
-        blob = rows.tobytes()
-        w = 1 + b
-        for j, i in enumerate(sel):
-            parts[run_sids[i]] = blob[j * w: (j + 1) * w]
+        groups.append((sids[sel], rows))
 
     vlen = np.maximum((bu + 6) // 7, 1)
     fd = ~sr
+    seg_len[sids[fd]] = 3 + vlen[fd]
     for L in np.unique(vlen[fd]):
         L = int(L)
         sel = np.nonzero(fd & (vlen == L))[0]
@@ -213,10 +277,13 @@ def _emit_runs(v, run_sids, r_a, r_ln, parts, signed) -> None:
             rows[:, 2 + i] = 0x80 | ((z >> U64(7 * i)) & U64(0x7F)).astype(np.uint8)
         rows[:, 2 + L - 1] = ((z >> U64(7 * (L - 1))) & U64(0x7F)).astype(np.uint8)
         # trailing byte: fixed delta 0 as a 1-byte zigzag varint
-        blob = rows.tobytes()
-        w = 3 + L
-        for j, i in enumerate(sel):
-            parts[run_sids[i]] = blob[j * w: (j + 1) * w]
+        groups.append((sids[sel], rows))
+
+    def write(out, pos):
+        for gsids, rows in groups:
+            _scatter_rows(out, pos[gsids], rows)
+
+    return write
 
 
 def _percentile_stop(hist: np.ndarray, per_len: np.ndarray) -> np.ndarray:
@@ -233,8 +300,14 @@ def _per_len(counts: np.ndarray, percentile: float) -> np.ndarray:
     return (frac * counts.astype(np.float32)).astype(np.int64)
 
 
-def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
-                           narrow=False, interop=False) -> None:
+def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
+                   narrow=False, interop=False):
+    """Classify every literal block (vectorized decision tree,
+    `mod.rs:422-531`), compute grouped payload packs and exact emitted
+    byte lengths, and return a writer that scatters headers, varints and
+    payloads into the shared output buffer — no per-block Python in the
+    DIRECT/DELTA/PATCHED hot paths (the per-segment bytes assembly was
+    ~19us/segment of pure interpreter time)."""
     la = np.array([segs[i][1] for i in lit_sids], dtype=np.int64)
     ll = np.array([segs[i][2] for i in lit_sids], dtype=np.int64)
     K = len(la)
@@ -257,7 +330,8 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
         # zigzag in the u32 domain == low 32 bits of the u64 zigzag for
         # values that fit int32; bit widths and packing agree exactly
         zzg = ((g.astype(np.uint32) << np.uint32(1))
-               ^ (g >> np.int32(31)).astype(np.uint32)) if signed             else g.astype(np.uint32)
+               ^ (g >> np.int32(31)).astype(np.uint32)) if signed \
+            else g.astype(np.uint32)
     else:
         zzg = zigzag_encode(g) if signed else g.astype(U64)
 
@@ -326,75 +400,71 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
     cat[is_fixed] = _CAT_FIXED_DELTA
     cat[monotonic] = _CAT_VAR_DELTA
 
+    # ---- patched-base derivation (vectorized; 255-gap jump blocks take
+    # the scalar reference walk) ----
     brl_95 = np.zeros(K, dtype=np.int64)
-    brl_100_arr = np.zeros(K, dtype=np.int64)
     psel = np.empty(0, dtype=np.int64)
     is_patched = np.empty(0, dtype=bool)
+    # per-block-k patch state (arrays; the dict holds only the rare
+    # jump-patch blocks that took the scalar reference walk)
+    pb_patch: dict[int, np.ndarray] = {}    # k -> packed patch words (jump)
+    pb_pgw = np.zeros(K, dtype=np.int64)    # patch gap width per k
+    pb_nplen = np.zeros(K, dtype=np.int64)  # patch count per k
+    pb_pbw = np.zeros(K, dtype=np.int64)    # patch bits width per k
+    pb_t95 = np.zeros(K, dtype=np.int64)    # brl_95p per k
+    scalar_parts: dict[int, bytes] = {}     # k -> full emitted bytes
     if pc.any():
         pmask = pc[seg_of]
-        # i64 domain for base reduction: int32 ranges can span > 2^31
-        brl_vals = g[pmask].astype(I64) - vmin[seg_of[pmask]]
         pseg = seg_of[pmask]
+        if narrow:
+            # base-reduced values of an int32 block always fit uint32;
+            # wrapping u32 subtraction is exact and halves every
+            # derivation/pack pass's memory traffic
+            brl_vals = (g[pmask].astype(np.uint32)
+                        - vmin[pseg].astype(np.uint32))
+        else:
+            brl_vals = g[pmask].astype(I64) - vmin[pseg]
         # remap candidate segment ids to 0..P-1 for a compact histogram
         psel = np.nonzero(pc)[0]
-        remap = np.zeros(K, dtype=np.int64)
-        remap[psel] = np.arange(len(psel), dtype=np.int64)
+        remap = np.zeros(K, dtype=np.int32)
+        remap[psel] = np.arange(len(psel), dtype=np.int32)
         pseg_local = remap[pseg]
-        pcodes = _ENCODE_BIT_WIDTH_LUT[bits_used(brl_vals.astype(U64))]
-        phist = np.bincount(pseg_local * 32 + pcodes,
+        pcodes = _ENCODE_BIT_WIDTH_LUT32[bits_used(
+            brl_vals if narrow else brl_vals.astype(U64))]
+        phist = np.bincount(pseg_local * np.int32(32) + pcodes,
                             minlength=len(psel) * 32).reshape(len(psel), 32)
         p95 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(phist, _per_len(ll[psel], 0.95))]
         brl_100 = _ALIGNED_WIDTH_LUT[bits_used(range_u[psel])]
         is_patched = brl_100 != p95
         cat[psel[is_patched]] = _CAT_PATCHED
         brl_95[psel] = p95
-        brl_100_arr[psel] = brl_100
         pstart = np.zeros(len(psel), dtype=np.int64)
         np.cumsum(ll[psel][:-1], out=pstart[1:])
 
-    # ---- emission ----
-    direct = cat == _CAT_DIRECT
-    dwidth = np.where(direct, _ALIGNED_WIDTH_LUT[bits_used(zmax)], 0)
-
-    # bulk-pack byte-aligned direct widths
-    payloads: dict[int, bytes] = {}
-    for w in np.unique(dwidth[direct]):
-        w = int(w)
-        if w < 8:
-            continue
-        sel = direct & (dwidth == w)
-        vals = zzg[sel[seg_of]]
-        blob = pack_ints(vals, w)
-        lens_sel = ll[sel]
-        offs = np.zeros(len(lens_sel) + 1, dtype=np.int64)
-        np.cumsum(lens_sel * (w // 8), out=offs[1:])
-        for j, k in enumerate(np.nonzero(sel)[0]):
-            payloads[int(k)] = blob[offs[j]: offs[j + 1]]
-
-    # patched-base: patch positions/values/gaps for ALL patched blocks in
-    # one vectorized pass (the per-block `_derive_patches` walk was ~20%
-    # of encode CPU on zipf-shaped data); blocks needing 255-gap jump
-    # patches (rare) fall back to the scalar reference walk
-    pb_head: dict[int, bytes] = {}
-    pb_brl_w: dict[int, int] = {}
-    pb_brl_j: dict[int, int] = {}  # k -> local pc index j
-    pb_patch: dict[int, np.ndarray] = {}
-    pb_patch_w: dict[int, int] = {}
-    if is_patched.any():
         P = len(psel)
         jj = np.nonzero(is_patched)[0]
         pbw_arr = np.zeros(P, dtype=np.int64)
         t95 = np.zeros(P, dtype=np.int64)
-        pbw_arr[jj] = _FIXED_BITS_LUT[brl_100_arr[psel[jj]] - brl_95[psel[jj]]]
-        t95[jj] = brl_95[psel[jj]]
+        pbw_arr[jj] = _FIXED_BITS_LUT[brl_100[jj] - p95[jj]]
+        t95[jj] = p95[jj]
         adj = pbw_arr == 64  # only set on jj rows; others are 0
         pbw_arr[adj] = 56
         t95[adj] = 8
         thr = np.full(P, 64, dtype=np.int64)  # non-patched: mask everything
         thr[jj] = t95[jj]
-        brl_u = brl_vals.view(U64)  # base-reduced, always non-negative
-        blk_mask = np.where(thr >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
-                            (U64(1) << thr.astype(U64)) - U64(1))
+        if narrow:
+            # u32 brl domain: t95 < brl_100 <= 32, so thresholds fit;
+            # non-patched rows use the all-ones mask (never exceeded)
+            brl_u = brl_vals  # uint32, base-reduced, non-negative
+            U = np.uint32
+            blk_mask = np.where(thr >= 32, np.uint32(0xFFFFFFFF),
+                                (U(1) << np.minimum(thr, 31).astype(U)) - U(1))
+        else:
+            brl_u = brl_vals.view(U64)
+            U = U64
+            blk_mask = np.where(thr >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+                                (U64(1) << np.minimum(thr, 63).astype(U64))
+                                - U64(1))
         elem_mask = blk_mask[pseg_local]
         pidx = np.nonzero(brl_u > elem_mask)[0]
         pb_ = pseg_local[pidx]
@@ -406,7 +476,7 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
         jump_blocks = np.unique(pb_[gap > 255])
         vec_el = ~np.isin(pb_, jump_blocks)
         vp, vpb = pidx[vec_el], pb_[vec_el]
-        pval = brl_u[vp] >> thr.astype(U64)[vpb]
+        pval = brl_u[vp].astype(U64) >> thr.astype(U64)[vpb]
         brl_u[vp] &= elem_mask[vp]  # strip high bits in place (vec blocks)
         vgap = gap[vec_el]
         words = pval | (vgap.astype(U64) << pbw_arr.astype(U64)[vpb])
@@ -417,23 +487,31 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
         gmax = np.maximum.reduceat(vgap, b0) if len(vb_ids) else \
             np.empty(0, dtype=np.int64)
         pgw_vec = np.maximum(bits_used(gmax.astype(U64)), 1)
-        per_block_words = {int(j): (words[b0[i]: b1[i]], int(pgw_vec[i]))
-                           for i, j in enumerate(vb_ids)}
+        plens_vec = b1 - b0
+        # the 95th-percentile stop bounds outliers to <=5% of a
+        # <=512-value block (<=25 patches); if that invariant ever
+        # breaks, fail loudly instead of ORing the count into the
+        # 5-bit pl field and silently corrupting the gap-width bits
+        assert int(plens_vec.max(initial=0)) <= 31, \
+            "patched-base patch count overflows 5-bit field"
+        kk_vec = psel[vb_ids]
+        pb_pgw[kk_vec] = pgw_vec
+        pb_nplen[kk_vec] = plens_vec
+        pb_pbw[kk_vec] = pbw_arr[vb_ids]
+        pb_t95[kk_vec] = t95[vb_ids]
 
-        for j in jj:
+        # blocks not covered by the vectorized pass: 255-gap jump blocks
+        # (scalar reference walk, rare)
+        for j in np.setdiff1d(jj, vb_ids):
             j = int(j)
             k = int(psel[j])
             ln = int(ll[k])
             patch_bits_width = int(pbw_arr[j])
             brl_95p = int(t95[j])
-            if j in per_block_words:
-                wj, patch_gap_width = per_block_words[j]
-                patches = wj
-            else:  # jump-patch block: scalar reference walk (also strips)
-                brl = brl_vals[pstart[j]: pstart[j] + ln]
-                plist, patch_gap_width = _derive_patches(
-                    brl, patch_bits_width, brl_95p)
-                patches = np.array(plist, dtype=U64)
+            brl = brl_vals[pstart[j]: pstart[j] + ln]
+            plist, patch_gap_width = _derive_patches(
+                brl, patch_bits_width, brl_95p)
+            patches = np.array(plist, dtype=U64)
             if interop and not 1 <= len(patches) <= 31:
                 # the reference encoder (patched_base.rs:262) writes
                 # patches.len() into a 5-bit field unguarded; 0 or >31
@@ -443,107 +521,226 @@ def _encode_literal_blocks(v, segs, lit_sids, parts, signed, width_bits,
                 # to DIRECT at the 100p width instead.
                 w = int(_ALIGNED_WIDTH_LUT[bits_used_scalar(int(zmax[k]))])
                 cat[k] = _CAT_DIRECT
-                dwidth[k] = w
-                payloads[k] = pack_ints(
-                    np.ascontiguousarray(zzg[bnd[k]: bnd[k] + ln]).astype(
-                        U64, copy=False), w)
+                ebw = rle_v2_encode_bit_width(w)
+                el = ln - 1
+                scalar_parts[k] = bytes(
+                    (_HDR_DIRECT | (ebw << 1) | (el >> 8), el & 0xFF)) + \
+                    pack_ints(np.ascontiguousarray(
+                        zzg[bnd[k]: bnd[k] + ln]).astype(U64, copy=False), w)
                 continue
-            # the 95th-percentile stop bounds outliers to <=5% of a
-            # <=512-value block (<=25 patches); if that invariant ever
-            # breaks, fail loudly instead of ORing the count into the
-            # 5-bit pl field and silently corrupting the gap-width bits
             assert len(patches) <= 31, \
                 f"patched-base patch count {len(patches)} overflows 5-bit field"
-            base = int(vmin[k])
-            base_bit_width = get_closest_fixed_bits(bits_used_scalar(abs(base)) + 1)
-            base_byte_width = max((base_bit_width + 7) // 8, 1)
-            msb = signed_msb_encode_scalar(base, base_byte_width)
-            head = bytearray()
-            head.append(_HDR_PATCHED_BASE | (encode_bit_width(brl_95p) << 1)
-                        | ((ln - 1) >> 8))
-            head.append((ln - 1) & 0xFF)
-            head.append(((base_byte_width - 1) << 5)
-                        | encode_bit_width(patch_bits_width))
-            head.append(((patch_gap_width - 1) << 5) | len(patches))
-            head.extend(msb.to_bytes(base_byte_width, "big"))
-            pb_head[k] = bytes(head)
-            pb_brl_w[k] = get_closest_fixed_bits(brl_95p)
-            pb_brl_j[k] = j
             pb_patch[k] = patches
-            pb_patch_w[k] = get_closest_fixed_bits(patch_gap_width + patch_bits_width)
+            pb_pgw[k] = patch_gap_width
+            pb_nplen[k] = len(patches)
+            pb_pbw[k] = patch_bits_width
+            pb_t95[k] = brl_95p
 
-    # group stripped-brl packs by width: one masked gather + one
-    # segmented pack per distinct width
-    pb_brl_payload: dict[int, bytes] = {}
-    by_w: dict[int, list[int]] = {}
-    for k, w in pb_brl_w.items():
-        by_w.setdefault(w, []).append(k)
-    for w, ks in by_w.items():
-        js = np.array([pb_brl_j[k] for k in ks], dtype=np.int64)
-        selp = np.zeros(len(psel), dtype=bool)
-        selp[js] = True
-        vals = brl_vals[selp[pseg_local]].astype(U64)
-        blob, offs = pack_ints_segmented(vals, ll[psel[js]], w)
-        for i, k in enumerate(ks):
-            pb_brl_payload[k] = blob[int(offs[i]): int(offs[i + 1])]
+    patched = (cat == _CAT_PATCHED)
+    pk = np.nonzero(patched)[0]
 
-    pb_patch_payload = _bulk_pack_groups(pb_patch, pb_patch_w)
+    # ---- per-category lengths + grouped payload packs ----
+    groups_rows: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]] = []
+    groups_payload: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    # each payload entry: (ks, payload_start_offset_within_segment, blob)
 
-    # non-byte-aligned direct widths (1/2/4), bulk-packed too
-    for w in np.unique(dwidth[direct]):
-        w = int(w)
-        if w >= 8:
-            continue
-        sel = direct & (dwidth == w)
-        vals = zzg[sel[seg_of]]
-        blob, offs = pack_ints_segmented(vals, ll[sel], w)
-        for j, k in enumerate(np.nonzero(sel)[0]):
-            payloads[int(k)] = blob[int(offs[j]): int(offs[j + 1])]
+    direct = cat == _CAT_DIRECT
+    dwidth = np.where(direct, _ALIGNED_WIDTH_LUT[bits_used(zmax)], 0)
+    for k in scalar_parts:      # interop-rerouted blocks: fully scalar
+        direct[k] = False
+    dks = np.nonzero(direct)[0]
+    if len(dks):
+        dw = dwidth[dks]
+        plen = np.where(dw % 8 == 0, ll[dks] * (dw // 8),
+                        (ll[dks] * dw + 7) // 8)
+        seg_len[lit_sids[dks]] = 2 + plen
+        el = ll[dks] - 1
+        hdr = np.empty((len(dks), 2), dtype=np.uint8)
+        hdr[:, 0] = (_HDR_DIRECT | (_EBW_LUT[dw] << 1) | (el >> 8)).astype(np.uint8)
+        hdr[:, 1] = (el & 0xFF).astype(np.uint8)
+        groups_rows.append((dks, hdr, None))
+        for w in np.unique(dw):
+            w = int(w)
+            sel = direct & (dwidth == w)
+            vals = zzg[sel[seg_of]]
+            ks = np.nonzero(sel)[0]
+            if w % 8 == 0:
+                blob = np.frombuffer(pack_ints(vals, w), dtype=np.uint8)
+                plens = ll[ks] * (w // 8)
+            else:
+                raw, offs = pack_ints_segmented(vals, ll[ks], w)
+                blob = np.frombuffer(raw, dtype=np.uint8)
+                plens = np.diff(offs)
+            groups_payload.append((ks, np.full(len(ks), 2, dtype=np.int64),
+                                   blob, plens))
 
-    for k in range(K):
-        si = lit_sids[k]
-        a = int(la[k])
-        ln = int(ll[k])
-        c = int(cat[k])
-        if c == _CAT_DIRECT:
-            w = int(dwidth[k])
-            ebw = rle_v2_encode_bit_width(w)
-            el = ln - 1
-            parts[si] = bytes((_HDR_DIRECT | (ebw << 1) | (el >> 8), el & 0xFF)) \
-                + payloads[k]
-            continue
-        out = bytearray()
-        if c == _CAT_FIXED_DELTA:
-            _write_fixed_delta(out, int(v[a]), int(first_delta[k]), ln - 2, signed)
-        elif c == _CAT_VAR_DELTA:
-            rest = d[bnd[k] + 1: bnd[k] + ln - 1]
+    # fixed-delta + varying-delta literal blocks share the header+varint
+    # matrix layout: [h0, h1, varint(base), varint(first_delta), ...]
+    fvk = np.nonzero((cat == _CAT_FIXED_DELTA) | (cat == _CAT_VAR_DELTA))[0]
+    if len(fvk):
+        is_vd = cat[fvk] == _CAT_VAR_DELTA
+        base_vals = v[la[fvk]].astype(I64)
+        zz1 = zigzag_encode(base_vals) if signed else base_vals.astype(U64)
+        zz2 = zigzag_encode(first_delta[fvk])
+        mat1, vl1 = _varint_matrix(zz1)
+        mat2, vl2 = _varint_matrix(zz2)
+        M1, M2 = mat1.shape[1], mat2.shape[1]
+
+        # var-delta payload: |subsequent deltas| packed at the block's
+        # aligned width (min 2 — width 1 decodes as fixed-delta marker)
+        vd_local = np.nonzero(is_vd)[0]
+        vdw = np.zeros(len(fvk), dtype=np.int64)
+        vd_plen = np.zeros(len(fvk), dtype=np.int64)
+        if len(vd_local):
+            vks = fvk[vd_local]
+            counts = ll[vks] - 2
+            tot = int(counts.sum())
+            st = np.zeros(len(vks), dtype=np.int64)
+            np.cumsum(counts[:-1], out=st[1:])
+            gi = (np.repeat(bnd[vks] + 1, counts)
+                  + (np.arange(tot, dtype=np.int64) - np.repeat(st, counts)))
+            rest = d[gi]
             abs_rest = np.where(rest == I64_MIN, I64_MAX, np.abs(rest))
-            max_delta = int(abs_rest.max()) if len(abs_rest) else 0
-            _write_varying_delta(out, int(v[a]), int(first_delta[k]),
-                                 max_delta, abs_rest, signed)
-        else:  # patched base
-            out += pb_head[k]
-            out += pb_brl_payload[k]
-            out += pb_patch_payload[k]
-        parts[si] = bytes(out)
+            # monotonic blocks have ll >= 4, so counts >= 2 everywhere
+            mx = np.maximum.reduceat(abs_rest, st)
+            w_ = _ALIGNED_WIDTH_LUT[bits_used(mx.astype(U64))]
+            w_ = np.maximum(w_, 2)
+            vdw[vd_local] = w_
+            vd_plen[vd_local] = np.where(
+                w_ % 8 == 0, counts * (w_ // 8), (counts * w_ + 7) // 8)
+            for w in np.unique(w_):
+                w = int(w)
+                gsel = np.nonzero(w_ == w)[0]
+                sel_mask = np.zeros(len(vks), dtype=bool)
+                sel_mask[gsel] = True
+                vals = abs_rest[np.repeat(sel_mask, counts)].astype(U64)
+                raw, offs = pack_ints_segmented(vals, counts[gsel], w)
+                blob = np.frombuffer(raw, dtype=np.uint8)
+                groups_payload.append(
+                    (vks[gsel], 2 + vl1[vd_local[gsel]] + vl2[vd_local[gsel]],
+                     blob, np.diff(offs)))
 
+        hl = 2 + vl1 + vl2
+        seg_len[lit_sids[fvk]] = hl + vd_plen
+        el = ll[fvk] - 1
+        dwc = np.where(is_vd, _EBW_LUT[vdw], 0)
+        W = 2 + M1 + M2
+        mat = np.zeros((len(fvk), W), dtype=np.uint8)
+        mat[:, 0] = (_HDR_DELTA | (dwc << 1) | (el >> 8)).astype(np.uint8)
+        mat[:, 1] = (el & 0xFF).astype(np.uint8)
+        m1mask = np.arange(M1, dtype=np.int64)[None, :] < vl1[:, None]
+        mat[:, 2:2 + M1] = np.where(m1mask, mat1, 0)
+        idx2 = 2 + vl1[:, None] + np.arange(M2, dtype=np.int64)[None, :]
+        m2mask = np.arange(M2, dtype=np.int64)[None, :] < vl2[:, None]
+        # protect already-written varint1 bytes: out-of-range varint2
+        # columns must not clobber, so write only masked entries
+        flat_cols = idx2[m2mask]
+        flat_rows = np.broadcast_to(
+            np.arange(len(fvk), dtype=np.int64)[:, None], idx2.shape)[m2mask]
+        mat[flat_rows, flat_cols] = mat2[m2mask]
+        groups_rows.append((fvk, mat, hl))
 
-def _bulk_pack_groups(arrays: dict[int, np.ndarray],
-                      widths: dict[int, int]) -> dict[int, bytes]:
-    """Pack many per-segment arrays, grouping same-width segments into a
-    single `pack_ints_segmented` call; returns per-key payload bytes."""
-    by_w: dict[int, list[int]] = {}
-    for k, w in widths.items():
-        by_w.setdefault(w, []).append(k)
-    out: dict[int, bytes] = {}
-    for w, ks in by_w.items():
-        lens = np.array([len(arrays[k]) for k in ks], dtype=np.int64)
-        vals = np.concatenate([arrays[k].astype(U64, copy=False) for k in ks]) \
-            if len(ks) else np.empty(0, dtype=U64)
-        blob, offs = pack_ints_segmented(vals, lens, w)
-        for j, k in enumerate(ks):
-            out[k] = blob[int(offs[j]): int(offs[j + 1])]
-    return out
+    if len(pk):
+        # patched-base heads, grouped by base byte width
+        bases = vmin[pk]
+        base_bw_bits = _FIXED_BITS_LUT[bits_used(np.abs(bases).astype(U64)) + 1]
+        base_bytes = np.maximum((base_bw_bits + 7) // 8, 1)
+        t95p = pb_t95[pk]
+        brl_w = _FIXED_BITS_LUT[t95p]
+        brl_plen = np.where(brl_w % 8 == 0, ll[pk] * (brl_w // 8),
+                            (ll[pk] * brl_w + 7) // 8)
+        pgw = pb_pgw[pk]
+        pbw = pb_pbw[pk]
+        pw = _FIXED_BITS_LUT[pgw + pbw]
+        np_plen = pb_nplen[pk]
+        patch_plen = np.where(pw % 8 == 0, np_plen * (pw // 8),
+                              (np_plen * pw + 7) // 8)
+        head_len = 4 + base_bytes
+        seg_len[lit_sids[pk]] = head_len + brl_plen + patch_plen
+
+        el = ll[pk] - 1
+        msb = np.where(bases < 0,
+                       np.abs(bases).astype(U64)
+                       | (U64(1) << (base_bytes * 8 - 1).astype(U64)),
+                       bases.astype(U64))
+        msb_be = msb.astype(">u8").view(np.uint8).reshape(-1, 8)
+        for bw in np.unique(base_bytes):
+            bw = int(bw)
+            gsel = np.nonzero(base_bytes == bw)[0]
+            rows = np.empty((len(gsel), 4 + bw), dtype=np.uint8)
+            rows[:, 0] = (_HDR_PATCHED_BASE
+                          | (_ENCODE_BIT_WIDTH_LUT[t95p[gsel]] << 1)
+                          | (el[gsel] >> 8)).astype(np.uint8)
+            rows[:, 1] = (el[gsel] & 0xFF).astype(np.uint8)
+            rows[:, 2] = (((bw - 1) << 5)
+                          | _ENCODE_BIT_WIDTH_LUT[pbw[gsel]]).astype(np.uint8)
+            rows[:, 3] = (((pgw[gsel] - 1) << 5) | np_plen[gsel]).astype(np.uint8)
+            rows[:, 4:] = msb_be[gsel][:, 8 - bw:]
+            groups_rows.append((pk[gsel], rows, None))
+
+        # stripped-brl packs grouped by width: one masked gather + one
+        # segmented pack per distinct width
+        psel_patched = remap[pk]
+        for w in np.unique(brl_w):
+            w = int(w)
+            gsel = np.nonzero(brl_w == w)[0]
+            selp = np.zeros(len(psel), dtype=bool)
+            selp[psel_patched[gsel]] = True
+            vals = brl_vals[selp[pseg_local]]  # u32 stays u32 in the pack
+            raw, offs = pack_ints_segmented(vals, ll[pk[gsel]], w)
+            groups_payload.append((pk[gsel], head_len[gsel],
+                                   np.frombuffer(raw, dtype=np.uint8),
+                                   np.diff(offs)))
+
+        # patch lists grouped by patch word width.  Vectorized blocks'
+        # words are already concatenated in vb order; jump blocks come
+        # from the (small) scalar dict — each gets its own payload group,
+        # so no per-block Python touches the hot path
+        posk = np.zeros(K, dtype=np.int64)
+        posk[pk] = np.arange(len(pk), dtype=np.int64)
+        if len(vb_ids):
+            kk = psel[vb_ids]
+            live = cat[kk] == _CAT_PATCHED  # interop reroutes drop out
+            pw_vec = _FIXED_BITS_LUT[pgw_vec + pbw_arr[vb_ids]]
+            for w in np.unique(pw_vec[live]):
+                w = int(w)
+                sel = live & (pw_vec == w)
+                vals = words[np.repeat(sel, plens_vec)]
+                raw, offs = pack_ints_segmented(vals, plens_vec[sel], w)
+                ks = kk[sel]
+                groups_payload.append(
+                    (ks, head_len[posk[ks]] + brl_plen[posk[ks]],
+                     np.frombuffer(raw, dtype=np.uint8), np.diff(offs)))
+        if pb_patch:
+            jks = np.array(sorted(pb_patch), dtype=np.int64)
+            jpw = _FIXED_BITS_LUT[pb_pgw[jks] + pb_pbw[jks]]
+            for w in np.unique(jpw):
+                w = int(w)
+                gsel = np.nonzero(jpw == w)[0]
+                vals = np.concatenate(
+                    [pb_patch[int(k)].astype(U64, copy=False)
+                     for k in jks[gsel]])
+                raw, offs = pack_ints_segmented(
+                    vals, pb_nplen[jks[gsel]], w)
+                ks = jks[gsel]
+                groups_payload.append(
+                    (ks, head_len[posk[ks]] + brl_plen[posk[ks]],
+                     np.frombuffer(raw, dtype=np.uint8), np.diff(offs)))
+
+    for k, blob in scalar_parts.items():
+        seg_len[lit_sids[k]] = len(blob)
+
+    def write(out, pos):
+        base_pos = pos[lit_sids]
+        for ks, mat, rlen in groups_rows:
+            _scatter_rows(out, base_pos[ks], mat, rlen)
+        for ks, off, blob, plens in groups_payload:
+            _scatter_flat(out, base_pos[ks] + off, plens, blob)
+        for k, blob in scalar_parts.items():
+            p = int(base_pos[k])
+            out[p: p + len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+
+    return write
 
 
 # ---------------------------------------------------------------------------
