@@ -122,29 +122,38 @@ def _zz(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
-def _parse_col_stats(raw: bytes) -> tuple | None:
-    """ColumnStatistics -> (min, max) for int/double/string/date columns,
-    None when the type has no usable range statistics."""
+def _parse_col_stats(raw: bytes):
+    """ColumnStatistics -> ColStats (min/max for int/double/string/date,
+    plus numberOfValues and hasNull), or None when the message carries
+    nothing usable."""
+    from .predicate import ColStats
     cs = _pb_parse(raw)
+    out = ColStats()
+    if 1 in cs:
+        out.n_values = _one(cs, 1)
+    if 10 in cs:
+        out.has_null = bool(_one(cs, 10))
     if 2 in cs:  # IntegerStatistics (sint64 zigzag)
         s = _pb_parse(cs[2][0])
         if 1 in s and 2 in s:
-            return (_zz(_one(s, 1)), _zz(_one(s, 2)))
-    if 3 in cs:  # DoubleStatistics (64-bit doubles)
+            out.min, out.max = _zz(_one(s, 1)), _zz(_one(s, 2))
+    elif 3 in cs:  # DoubleStatistics (64-bit doubles)
         import struct
         s = _pb_parse(cs[3][0])
         if 1 in s and 2 in s:
-            return (struct.unpack("<d", s[1][0].to_bytes(8, "little"))[0],
-                    struct.unpack("<d", s[2][0].to_bytes(8, "little"))[0])
-    if 4 in cs:  # StringStatistics
+            out.min = struct.unpack("<d", s[1][0].to_bytes(8, "little"))[0]
+            out.max = struct.unpack("<d", s[2][0].to_bytes(8, "little"))[0]
+    elif 4 in cs:  # StringStatistics
         s = _pb_parse(cs[4][0])
         if 1 in s and 2 in s:
-            return (s[1][0].decode(), s[2][0].decode())
-    if 7 in cs:  # DateStatistics (sint32 days)
+            out.min, out.max = s[1][0].decode(), s[2][0].decode()
+    elif 7 in cs:  # DateStatistics (sint32 days)
         s = _pb_parse(cs[7][0])
         if 1 in s and 2 in s:
-            return (_zz(_one(s, 1)), _zz(_one(s, 2)))
-    return None
+            out.min, out.max = _zz(_one(s, 1)), _zz(_one(s, 2))
+    if out.min is None and out.n_values is None and out.has_null is None:
+        return None
+    return out
 
 
 class OrcMeta:
@@ -161,8 +170,24 @@ class OrcMeta:
 
 
 def read_metadata(path: str) -> OrcMeta:
+    """Tail-only parse: PostScript -> Footer (+ Metadata stats).  Reads
+    at most the file tail, never the stripe bytes — the driver calls
+    this once per file to plan stripe splits, so it must stay O(tail)
+    regardless of file size (`src/reader/metadata.rs:180-247` reads a
+    fixed probe then extends the same way)."""
+    import os
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        data = f.read()
+        probe = min(size, 256 * 1024)
+        f.seek(size - probe)
+        data = f.read(probe)
+        ps_len = data[-1]
+        ps_probe = _pb_parse(data[-1 - ps_len: -1])
+        need = (1 + ps_len + _one(ps_probe, 1) + _one(ps_probe, 5)
+                + _one(ps_probe, 6, 0))
+        if need > probe:
+            f.seek(size - min(size, need))
+            data = f.read(min(size, need))
     ps_len = data[-1]
     ps = _pb_parse(data[-1 - ps_len: -1])
     footer_len = _one(ps, 1)
@@ -184,9 +209,9 @@ def read_metadata(path: str) -> OrcMeta:
             ss = _pb_parse(ss_raw)
             col_ranges = {}
             for cid, cs_raw in enumerate(ss.get(1, [])):
-                rng = _parse_col_stats(cs_raw)
-                if rng is not None:
-                    col_ranges[cid] = rng
+                st = _parse_col_stats(cs_raw)
+                if st is not None:
+                    col_ranges[cid] = st
             stripe_stats.append(col_ranges)
     types = []
     for traw in footer.get(4, []):
@@ -214,6 +239,18 @@ def read_metadata(path: str) -> OrcMeta:
 # ---------------------------------------------------------------------------
 # stripe decode
 # ---------------------------------------------------------------------------
+
+class _SpanBytes:
+    """A byte range of a file addressed by ABSOLUTE offsets, so stripe
+    walking code slices it exactly like the full file bytes."""
+
+    def __init__(self, buf: bytes, base: int):
+        self._buf = buf
+        self._base = base
+
+    def __getitem__(self, sl: slice) -> bytes:
+        return self._buf[sl.start - self._base: sl.stop - self._base]
+
 
 def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
     """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)},
@@ -460,44 +497,65 @@ def arrow_schema(meta: OrcMeta,
 
 
 def read_orc(path: str, columns: list[str] | None = None,
-             predicate: dict[str, tuple] | None = None) -> pa.Table:
+             predicate: dict[str, tuple] | None = None,
+             stripe_indices: list[int] | None = None) -> pa.Table:
     """Decode a real ORC file to an Arrow table using the engine kernels.
 
     `columns` projects top-level fields (the `ProjectionMask` analog —
-    unprojected columns' streams are never decoded).  `predicate` maps
-    top-level column name -> (lo, hi) inclusive bounds, evaluated
-    against the file's per-stripe statistics (Metadata section): a
-    stripe whose [min, max] cannot intersect is skipped without
-    touching its bytes — the fork's `evaluate_predicate` -> skip stack
+    unprojected columns' streams are never decoded).  `predicate` is
+    either a `predicate.Predicate` AST (=, !=, <, <=, >, >=, IsNull,
+    IsNotNull, And/Or/Not — the full surface of `src/predicate.rs`) or
+    the back-compat {col: (lo, hi)} range dict; it is evaluated against
+    the file's per-stripe statistics (Metadata section): a stripe the
+    statistics prove matchless is skipped without touching its bytes —
+    the fork's `evaluate_predicate` -> skip stack
     (`src/row_group_filter.rs`) at stripe granularity on real ORC.
     Skipping is conservative: stripes without statistics always decode;
-    a final exact filter remains the caller's job."""
+    a final exact filter remains the caller's job.
+
+    `stripe_indices` restricts the decode to a subset of stripes — the
+    byte-range split unit (`src/arrow_reader.rs:357-372`): N tasks can
+    share one big file by each taking a disjoint stripe subset; only the
+    covering byte range of the selected stripes is read from disk."""
     meta = read_metadata(path)
-    with open(path, "rb") as f:
-        data = f.read()
+    if stripe_indices is not None:
+        sel = [meta.stripes[i] for i in sorted(set(stripe_indices))
+               if 0 <= i < len(meta.stripes)]
+        if not sel:
+            return arrow_schema(meta, columns).empty_table()
+        lo = min(s["offset"] for s in sel)
+        hi = max(s["offset"] + s["index_length"] + s["data_length"]
+                 + s["footer_length"] for s in sel)
+        with open(path, "rb") as f:
+            f.seek(lo)
+            data = _SpanBytes(f.read(hi - lo), lo)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
     root = meta.types[0]
     names = root["field_names"]
     want = [i for i, nm in enumerate(names)
             if columns is None or nm in columns]
-    pred_cols = {}
-    if predicate:
-        for nm, bounds in predicate.items():
-            if nm in names:
-                # column id of a root child is its subtype index
-                pred_cols[root["subtypes"][names.index(nm)]] = bounds
+    pred = None
+    if predicate is not None:
+        from .predicate import Predicate
+        pred = Predicate.from_range_dict(predicate) \
+            if isinstance(predicate, dict) else predicate
+        # column id of a root child is its subtype index
+        col_to_cid = {nm: root["subtypes"][i] for i, nm in enumerate(names)}
+    want_stripes = set(stripe_indices) if stripe_indices is not None else None
     batches = []
     for sidx, si in enumerate(meta.stripes):
-        if pred_cols and sidx < len(meta.stripe_stats):
+        if want_stripes is not None and sidx not in want_stripes:
+            continue
+        if pred is not None and sidx < len(meta.stripe_stats):
             stats = meta.stripe_stats[sidx]
-            skip = False
-            for cid, (lo, hi) in pred_cols.items():
-                if cid in stats:
-                    mn, mx = stats[cid]
-                    if (lo is not None and mx < lo) or \
-                       (hi is not None and mn > hi):
-                        skip = True
-                        break
-            if skip:
+
+            def stats_of(col, _stats=stats):
+                cid = col_to_cid.get(col)
+                return _stats.get(cid) if cid is not None else None
+
+            if not pred.evaluate(stats_of):
                 continue
         streams, encodings, writer_tz = _stripe_streams(data, meta, si)
         n = si["n_rows"]

@@ -35,34 +35,56 @@ from .orc_writer import OrcWriter
 
 def read_orc_spark(spark: SparkSession, path: str,
                    columns: list[str] | None = None,
-                   predicate: dict[str, tuple] | None = None) -> DataFrame:
+                   predicate: dict[str, tuple] | None = None,
+                   split_bytes: int = 32 << 20) -> DataFrame:
     """Distributed read of a dir of `.orc` files (or a single file).
 
     `columns` projects into the stripes (unread columns' streams are
     never decoded); `predicate` {col: (lo, hi)} prunes whole stripes
     against the files' statistics sections before any stream bytes are
-    touched — conservative, so follow with an exact `.filter`."""
+    touched — conservative, so follow with an exact `.filter`.
+
+    Tasks are (file, stripe subset) byte-range splits of ~`split_bytes`
+    (`src/arrow_reader.rs:357-372`): one big multi-stripe file fans out
+    to many tasks instead of capping parallelism at the file count.
+    Planning cost is one TAIL read per file on the driver (no stripe
+    bytes); each task then reads only its own stripes' byte range."""
     files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
         if os.path.isdir(path) else [path]
     if not files:
         raise ValueError(f"no .orc files under {path}")
-    # schema from the first file's TAIL only — no stripe is decoded on
-    # the driver (decoding file 0 twice cost GBs of driver work on
-    # large files)
     probe_schema = arrow_schema(read_metadata(files[0]), columns)
     out_schema = spark_schema_for(_normalize_schema(probe_schema))
 
+    tasks: list[tuple[str, list[int]]] = []
+    for f in files:
+        meta = read_metadata(f)
+        cur: list[int] = []
+        cur_bytes = 0
+        for i, s in enumerate(meta.stripes):
+            cur.append(i)
+            cur_bytes += (s["index_length"] + s["data_length"]
+                          + s["footer_length"])
+            if cur_bytes >= split_bytes:
+                tasks.append((f, cur))
+                cur, cur_bytes = [], 0
+        if cur or not meta.stripes:
+            tasks.append((f, cur))
+
     plan = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)],
+        [(i, f, ids) for i, (f, ids) in enumerate(tasks)],
         T.StructType([T.StructField("tid", T.IntegerType()),
-                      T.StructField("file", T.StringType())]),
-    ).repartitionByRange(len(files), "tid")
+                      T.StructField("file", T.StringType()),
+                      T.StructField("stripes", T.ArrayType(T.IntegerType()))]),
+    ).repartitionByRange(len(tasks), "tid")
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            for f in b.column("file").to_pylist():
+            for f, ids in zip(b.column("file").to_pylist(),
+                              b.column("stripes").to_pylist()):
                 tbl = _normalize(read_orc(f, columns=columns,
-                                          predicate=predicate))
+                                          predicate=predicate,
+                                          stripe_indices=ids))
                 yield from tbl.to_batches()
 
     return plan.mapInArrow(scan, out_schema)

@@ -1,0 +1,177 @@
+"""Predicate AST for real-ORC statistics pruning — behavioral mirror of
+the reference's `src/predicate.rs:27-186` (Comparison / IsNull /
+IsNotNull / And / Or / Not) and its stats evaluation in
+`src/row_group_filter.rs:51-470`.
+
+Semantics (three-valued collapsed to keep/skip, exactly as the
+reference):  an evaluation returns False only when the statistics PROVE
+no row in the unit (stripe or row group) can match; missing statistics,
+unsupported types, and undecidable cases all return True (keep).  `Not`
+negates the keep/skip answer directly — the reference does the same
+(`row_group_filter.rs:106-114`), which stays conservative for leaves
+whose skip answer is exact and mirrors its behavior everywhere else.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class ColStats:
+    """Per-unit column statistics (one stripe or one row group)."""
+    min: object = None
+    max: object = None
+    n_values: int | None = None     # non-null count
+    has_null: bool | None = None
+
+    @property
+    def range(self):
+        if self.min is None or self.max is None:
+            return None
+        return (self.min, self.max)
+
+
+_EPS = 1e-9  # reference float epsilon (`row_group_filter.rs:361-372`)
+
+
+class Predicate:
+    """AST node.  Build with the factory classmethods:
+
+    >>> Predicate.and_([Predicate.gte("age", 18), Predicate.eq("city", "NYC")])
+    """
+
+    def __init__(self, kind: str, column: str | None = None,
+                 op: str | None = None, value=None,
+                 children: list["Predicate"] | None = None):
+        self.kind = kind          # cmp | is_null | is_not_null | and | or | not
+        self.column = column
+        self.op = op              # eq ne lt le gt ge
+        self.value = value
+        self.children = children or []
+
+    # -- factories (the reference's constructor surface) ------------------
+    @classmethod
+    def eq(cls, column: str, value) -> "Predicate":
+        return cls("cmp", column, "eq", value)
+
+    @classmethod
+    def ne(cls, column: str, value) -> "Predicate":
+        return cls("cmp", column, "ne", value)
+
+    @classmethod
+    def lt(cls, column: str, value) -> "Predicate":
+        return cls("cmp", column, "lt", value)
+
+    @classmethod
+    def lte(cls, column: str, value) -> "Predicate":
+        return cls("cmp", column, "le", value)
+
+    @classmethod
+    def gt(cls, column: str, value) -> "Predicate":
+        return cls("cmp", column, "gt", value)
+
+    @classmethod
+    def gte(cls, column: str, value) -> "Predicate":
+        return cls("cmp", column, "ge", value)
+
+    @classmethod
+    def is_null(cls, column: str) -> "Predicate":
+        return cls("is_null", column)
+
+    @classmethod
+    def is_not_null(cls, column: str) -> "Predicate":
+        return cls("is_not_null", column)
+
+    @classmethod
+    def and_(cls, predicates: list["Predicate"]) -> "Predicate":
+        return cls("and", children=list(predicates))
+
+    @classmethod
+    def or_(cls, predicates: list["Predicate"]) -> "Predicate":
+        return cls("or", children=list(predicates))
+
+    @classmethod
+    def not_(cls, predicate: "Predicate") -> "Predicate":
+        return cls("not", children=[predicate])
+
+    @classmethod
+    def from_range_dict(cls, ranges: dict[str, tuple]) -> "Predicate":
+        """Back-compat: {col: (lo, hi)} -> AND of >= lo / <= hi."""
+        parts: list[Predicate] = []
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                parts.append(cls.gte(col, lo))
+            if hi is not None:
+                parts.append(cls.lte(col, hi))
+        return cls.and_(parts)
+
+    def __repr__(self) -> str:
+        if self.kind == "cmp":
+            return f"({self.column} {self.op} {self.value!r})"
+        if self.kind in ("is_null", "is_not_null"):
+            return f"({self.column} {self.kind})"
+        if self.kind == "not":
+            return f"(not {self.children[0]!r})"
+        sep = f" {self.kind} "
+        return "(" + sep.join(repr(c) for c in self.children) + ")"
+
+    # -- evaluation --------------------------------------------------------
+    def evaluate(self, stats_of) -> bool:
+        """keep/skip for one unit.  `stats_of(column) -> ColStats | None`.
+
+        True = the unit may contain matching rows (keep);
+        False = statistics prove no row matches (skip)."""
+        k = self.kind
+        if k == "and":
+            return all(c.evaluate(stats_of) for c in self.children)
+        if k == "or":
+            if not self.children:
+                return True
+            return any(c.evaluate(stats_of) for c in self.children)
+        if k == "not":
+            return not self.children[0].evaluate(stats_of)
+        st = stats_of(self.column)
+        if st is None:
+            return True
+        if k == "is_null":
+            return True if st.has_null is None else bool(st.has_null)
+        if k == "is_not_null":
+            return True if st.n_values is None else st.n_values > 0
+        # comparison
+        rng = st.range
+        if rng is None:
+            return True
+        mn, mx = rng
+        v = self.value
+        if isinstance(v, bool) or v is None:
+            return True  # boolean ranges unsupported here; conservative
+        if isinstance(v, str) != isinstance(mn, str):
+            return True  # type mismatch with the stats: cannot prune
+        if isinstance(v, float) or isinstance(mn, float):
+            # reference float epsilon semantics
+            mnf, mxf, vf = float(mn), float(mx), float(v)
+            return {
+                "eq": (mnf - _EPS) <= vf <= (mxf + _EPS),
+                "ne": not (abs(mnf - vf) < _EPS and abs(mxf - vf) < _EPS),
+                "lt": mnf < vf,
+                "le": mnf <= vf,
+                "gt": mxf > vf,
+                "ge": mxf >= vf,
+            }[self.op]
+        return {
+            "eq": mn <= v <= mx,
+            "ne": not (mn == v and mx == v),
+            "lt": mn < v,
+            "le": mn <= v,
+            "gt": mx > v,
+            "ge": mx >= v,
+        }[self.op]
+
+    def columns(self) -> set[str]:
+        out: set[str] = set()
+        if self.column is not None:
+            out.add(self.column)
+        for c in self.children:
+            out |= c.columns()
+        return out

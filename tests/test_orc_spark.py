@@ -90,3 +90,30 @@ def test_read_pushes_projection_through_select(spark, tmp_path):
     rt = read_orc_spark(spark, out).select("n_name")
     names = {r.n_name for r in rt.collect()}
     assert {r.n_name for r in src.select("n_name").collect()} == names
+
+
+def test_single_file_multi_stripe_splits_to_tasks(spark, tmp_path):
+    """Byte-range stripe splits: one big multi-stripe file fans out to
+    several tasks instead of one task per file."""
+    import numpy as np
+    from orc_rust_spark.sources.orc_writer import OrcWriter
+    from orc_rust_spark.sources.orc_reader import read_orc
+    path = str(tmp_path / "big.orc")
+    n = 200_000
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                    "s": pa.array([f"row{i:07d}" for i in range(n)])})
+    w = OrcWriter(path, tbl.schema)
+    for b in tbl.to_batches(max_chunksize=20_000):
+        w.write_batch(b)
+    w.close()
+
+    # kernel-level: stripe subset decodes only those rows
+    sub = read_orc(path, stripe_indices=[1, 3])
+    assert sub.num_rows == 40_000
+    assert sub.column("k")[0].as_py() == 20_000
+
+    df = read_orc_spark(spark, path, split_bytes=1 << 18)
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == n
+    got = df.agg(F.sum("k")).collect()[0][0]
+    assert got == n * (n - 1) // 2

@@ -149,7 +149,7 @@ def test_writer_stats_and_stripe_pruning(tmp_path):
     meta = read_metadata(path)
     assert len(meta.stripes) == 10
     assert len(meta.stripe_stats) == 10
-    assert meta.stripe_stats[3][1] == (30_000, 39_999)
+    assert meta.stripe_stats[3][1].range == (30_000, 39_999)
     # pyarrow's reader still accepts the file with the stats section
     assert po.ORCFile(path).read().num_rows == n
     # int predicate -> exactly one stripe decoded
