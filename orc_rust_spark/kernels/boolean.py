@@ -21,8 +21,54 @@ def boolean_encode(values: np.ndarray) -> bytes:
     return byte_rle_encode(packed)
 
 
+class BitSpan:
+    """A boolean stream positioned mid-bitstream, as ORC row-index
+    positions describe it: `buf` starts at a byte-RLE RUN boundary,
+    `skip_bytes` decoded bytes are consumed within it, then `skip_bits`
+    bits — the (byte offset, values-into-run, bit offset) triple of the
+    public spec's row index."""
+
+    def __init__(self, buf, skip_bytes: int = 0, skip_bits: int = 0):
+        self.buf = buf
+        self.skip_bytes = skip_bytes
+        self.skip_bits = skip_bits
+
+
+def boolean_encode_with_marks(values: np.ndarray, mark_bits) -> tuple[bytes, list]:
+    """Encode one CONTINUOUS bool stream whose byte-RLE runs flush at
+    each mark's byte boundary, so every mark is addressable as
+    (stream byte offset at a run start, 0 values into run, bit within
+    byte) — exactly what a row-index entry needs.  Returns
+    (stream, [(byte_off, 0, bit_off) per mark])."""
+    bits = np.asarray(values, dtype=bool)
+    packed = np.packbits(bits)
+    cuts = sorted({int(mb) // 8 for mb in mark_bits})
+    parts = []
+    offs_at: dict[int, int] = {0: 0}
+    prev = 0
+    off = 0
+    for b in cuts:
+        if b > prev:
+            enc = byte_rle_encode(packed[prev:b])
+            parts.append(enc)
+            off += len(enc)
+            prev = b
+        offs_at[b] = off
+    if prev < len(packed):
+        parts.append(byte_rle_encode(packed[prev:]))
+    stream = b"".join(parts)
+    return stream, [(offs_at[int(mb) // 8], 0, int(mb) % 8)
+                    for mb in mark_bits]
+
+
 def boolean_decode(buf, n: int) -> np.ndarray:
-    """Decode n booleans from an ORC boolean/PRESENT stream."""
+    """Decode n booleans from an ORC boolean/PRESENT stream (bytes or a
+    mid-stream `BitSpan`)."""
+    if isinstance(buf, BitSpan):
+        nbytes = buf.skip_bytes + (buf.skip_bits + n + 7) // 8
+        packed = byte_rle_decode(buf.buf, nbytes, exact=False)
+        return np.unpackbits(packed[buf.skip_bytes:])[
+            buf.skip_bits: buf.skip_bits + n].astype(bool)
     nbytes = (n + 7) // 8
     packed = byte_rle_decode(buf, nbytes)
     return np.unpackbits(packed)[:n].astype(bool)

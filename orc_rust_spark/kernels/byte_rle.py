@@ -107,10 +107,15 @@ def byte_rle_encode(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def byte_rle_decode(buf, n: int) -> np.ndarray:
-    """Decode n bytes; returns uint8 array (`byte.rs:228-247`)."""
+def byte_rle_decode(buf, n: int, exact: bool = True) -> np.ndarray:
+    """Decode n bytes; returns uint8 array (`byte.rs:228-247`).
+
+    With ``exact=False`` the final run may overshoot n (decoding a
+    row-group slice whose byte budget ends mid-run) — the result is
+    truncated instead of raising."""
     buf = memoryview(buf)
-    out = np.empty(n, dtype=np.uint8)
+    # max overshoot is one run (<=130 bytes)
+    out = np.empty(n + 130, dtype=np.uint8)
     got = 0
     pos = 0
     while got < n:
@@ -125,9 +130,9 @@ def byte_rle_decode(buf, n: int) -> np.ndarray:
             out[got : got + length] = np.frombuffer(buf, np.uint8, length, pos)
             pos += length
         got += length
-    if got != n:
+    if exact and got != n:
         raise ValueError(f"byte RLE decoded {got}, expected {n}")
-    return out
+    return out[:n]
 
 
 def byte_rle_decode_all(buf) -> np.ndarray:

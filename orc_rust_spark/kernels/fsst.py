@@ -169,9 +169,13 @@ def _chain(mlen: np.ndarray) -> np.ndarray:
     np.minimum(nxt, it(n), out=nxt)
     nxt_ext = np.concatenate((nxt, np.array([n], dtype=it)))
 
-    BLOCK = 1024
+    # adaptive block: ~sqrt(n) balances the scalar start walk (n/BLOCK
+    # iterations) against BLOCK row-gathers — the fixed 1024 spent ~2ms
+    # of gather overhead per call on the small training samples
+    logb = min(max((n.bit_length() + 1) // 2, 4), 10)
+    BLOCK = 1 << logb
     J = nxt_ext
-    for _ in range(10):  # 2^10 = BLOCK codes per jump
+    for _ in range(logb):  # 2^logb = BLOCK codes per jump
         J = J[J]
     starts = [0]
     b = int(J[0])

@@ -340,10 +340,21 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     zmax = np.maximum.reduceat(zzg, bnd).astype(U64)
 
     # saturating adjacent deltas, padded to length `total`; positions that
-    # cross a segment boundary (and the final pad) are neutralized
-    d = np.zeros(total, dtype=I64)
+    # cross a segment boundary (and the final pad) are neutralized.
+    # When the global value range fits int31, every pairwise delta fits
+    # int32 — the delta array (and all its reduction passes) runs at
+    # half the memory traffic
+    nrange = narrow and K > 0 and \
+        int(vmax.max()) - int(vmin.min()) < 2**31
+    ddt = np.int32 if nrange else I64
+    d_max = np.int32(2**31 - 1) if nrange else I64_MAX
+    d_min = np.int32(-2**31) if nrange else I64_MIN
+    d = np.zeros(total, dtype=ddt)
     if total > 1:
-        if narrow:
+        if nrange:
+            # guarded above: wrapping int32 subtraction is exact
+            raw = g[1:] - g[:-1]
+        elif narrow:
             # int32 adjacent deltas always fit int64: no saturation
             raw = g[1:].astype(I64) - g[:-1]
         else:
@@ -360,13 +371,13 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     d_le = d <= 0
     d_ge[cross] = True
     d_le[cross] = True
-    first_delta = d[bnd].copy()
+    first_delta = d[bnd].astype(I64)
     # neutralize boundary-crossing deltas in place (saving two full
-    # int64 copies), restoring d afterwards for the var-delta emission
+    # copies), restoring d afterwards for the var-delta emission
     saved_cross = d[cross].copy()
-    d[cross] = I64_MAX
+    d[cross] = d_max
     dmin = np.minimum.reduceat(d, bnd)
-    d[cross] = I64_MIN
+    d[cross] = d_min
     dmax = np.maximum.reduceat(d, bnd)
     d[cross] = saved_cross
 
@@ -600,7 +611,12 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
             gi = (np.repeat(bnd[vks] + 1, counts)
                   + (np.arange(tot, dtype=np.int64) - np.repeat(st, counts)))
             rest = d[gi]
-            abs_rest = np.where(rest == I64_MIN, I64_MAX, np.abs(rest))
+            if d.dtype == np.int32:
+                # nrange guard: no delta can be INT32_MIN, abs is exact
+                abs_rest = np.abs(rest).view(np.uint32)
+            else:
+                abs_rest = np.where(rest == I64_MIN, I64_MAX,
+                                    np.abs(rest)).view(U64)
             # monotonic blocks have ll >= 4, so counts >= 2 everywhere
             mx = np.maximum.reduceat(abs_rest, st)
             w_ = _ALIGNED_WIDTH_LUT[bits_used(mx.astype(U64))]
@@ -613,7 +629,7 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
                 gsel = np.nonzero(w_ == w)[0]
                 sel_mask = np.zeros(len(vks), dtype=bool)
                 sel_mask[gsel] = True
-                vals = abs_rest[np.repeat(sel_mask, counts)].astype(U64)
+                vals = abs_rest[np.repeat(sel_mask, counts)]
                 raw, offs = pack_ints_segmented(vals, counts[gsel], w)
                 blob = np.frombuffer(raw, dtype=np.uint8)
                 groups_payload.append(
@@ -678,19 +694,33 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
             rows[:, 4:] = msb_be[gsel][:, 8 - bw:]
             groups_rows.append((pk[gsel], rows, None))
 
-        # stripped-brl packs grouped by width: one masked gather + one
-        # segmented pack per distinct width
+        # stripped-brl packs grouped by width: ONE gather into
+        # width-sorted element order, then contiguous per-group slices —
+        # the per-width mask rebuilds each scanned the full element set
         psel_patched = remap[pk]
-        for w in np.unique(brl_w):
-            w = int(w)
-            gsel = np.nonzero(brl_w == w)[0]
-            selp = np.zeros(len(psel), dtype=bool)
-            selp[psel_patched[gsel]] = True
-            vals = brl_vals[selp[pseg_local]]  # u32 stays u32 in the pack
-            raw, offs = pack_ints_segmented(vals, ll[pk[gsel]], w)
-            groups_payload.append((pk[gsel], head_len[gsel],
+        order = np.argsort(brl_w, kind="stable")
+        estart = pstart[psel_patched[order]]
+        e_ll = ll[pk[order]]
+        tote = int(e_ll.sum())
+        pst = np.zeros(len(order), dtype=np.int64)
+        np.cumsum(e_ll[:-1], out=pst[1:])
+        eidx = (np.repeat(estart, e_ll)
+                + (np.arange(tote, dtype=np.int64) - np.repeat(pst, e_ll)))
+        brl_sorted = brl_vals[eidx]  # u32 stays u32 in the pack
+        ecum = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(e_ll, out=ecum[1:])
+        bw_sorted = brl_w[order]
+        g0 = 0
+        while g0 < len(order):
+            w = int(bw_sorted[g0])
+            g1 = int(np.searchsorted(bw_sorted, w, side="right"))
+            sl = order[g0:g1]
+            vals = brl_sorted[ecum[g0]: ecum[g1]]
+            raw, offs = pack_ints_segmented(vals, e_ll[g0:g1], w)
+            groups_payload.append((pk[sl], head_len[sl],
                                    np.frombuffer(raw, dtype=np.uint8),
                                    np.diff(offs)))
+            g0 = g1
 
         # patch lists grouped by patch word width.  Vectorized blocks'
         # words are already concatenated in vb order; jump blocks come

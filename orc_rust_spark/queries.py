@@ -891,6 +891,37 @@ _RLEV1_ORACLE = (
 )
 
 
+
+
+def q_orc_rowindex_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowIndex round-trip gate (`src/row_index.rs:30-256` +
+    `src/row_group_filter.rs:51-118`): write lineitem as a real `.orc`
+    file WITH ROW_INDEX streams (per-2500-row-group positions and
+    statistics), then read it back through the distributed source under
+    a compound predicate AST — sub-stripe groups whose statistics
+    cannot match are never decoded (their stream bytes never touched).
+    The exact filter on top makes the result oracle-comparable."""
+    import tempfile
+    from .sources.orc_spark import read_orc_spark, write_orc_spark
+    from .sources.predicate import Predicate as P
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    out = tempfile.mkdtemp(prefix="orc_ri_")
+    write_orc_spark(li.coalesce(1), out, compression=1, stripe_rows=30_000,
+                    row_index_stride=2_500).collect()
+    pred = P.and_([P.gte("l_orderkey", 10_000), P.lte("l_orderkey", 20_000)])
+    rt = read_orc_spark(spark, out, predicate=pred)
+    return rt.filter((F.col("l_orderkey") >= 10_000)
+                     & (F.col("l_orderkey") <= 20_000))
+
+
+_ORC_RI_ORACLE = (
+    "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag FROM lineitem "
+    "WHERE l_orderkey BETWEEN 10000 AND 20000"
+)
+
+
 def _sql_query(builder: Callable[[bool], str], tables: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir, tables)
@@ -932,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = q_multimodal_features
     q["frame_sample"] = q_frame_sample
     q["rle_v1_fixture"] = q_rle_v1_fixture
+    q["orc_rowindex_pruned"] = q_orc_rowindex_pruned
     q["events_json"] = _sql_query(sql_events_json, ["events"])
     q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
     return q
@@ -950,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
     o["decode_rowgroup_pruned"] = _ROWGROUP_ORACLE
     o["roundtrip_orc_file"] = _ORC_FILE_ORACLE
     o["rle_v1_fixture"] = _RLEV1_ORACLE
+    o["orc_rowindex_pruned"] = _ORC_RI_ORACLE
     o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE
     o["streaming_encode"] = _TOKENS_ORACLE_BASE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE

@@ -39,6 +39,7 @@ from .orc_format import (  # noqa: F401  (shared spec enums)
     K_DICT_DATA,
     K_LENGTH,
     K_PRESENT,
+    K_ROW_INDEX,
     K_SECONDARY,
     TK_BINARY,
     TK_BOOL,
@@ -159,14 +160,15 @@ def _parse_col_stats(raw: bytes):
 class OrcMeta:
     def __init__(self, compression: int, types: list[dict], stripes: list[dict],
                  field_names: list[str], stripe_stats: list[dict] | None = None,
-                 block_size: int = 256 * 1024):
+                 block_size: int = 256 * 1024, row_index_stride: int = 0):
         self.block_size = block_size
         self.compression = compression
         self.types = types
         self.stripes = stripes
         self.field_names = field_names
-        # per stripe: {column_id: (min, max)} from the Metadata section
+        # per stripe: {column_id: ColStats} from the Metadata section
         self.stripe_stats = stripe_stats or []
+        self.row_index_stride = row_index_stride
 
 
 def read_metadata(path: str) -> OrcMeta:
@@ -233,7 +235,7 @@ def read_metadata(path: str) -> OrcMeta:
         })
     root = types[0] if types else {"field_names": []}
     return OrcMeta(compression, types, stripes, root["field_names"],
-                   stripe_stats, block_size)
+                   stripe_stats, block_size, _one(footer, 8, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -252,9 +254,10 @@ class _SpanBytes:
         return self._buf[sl.start - self._base: sl.stop - self._base]
 
 
-def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
-    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)},
-    writer_tz or None)"""
+def _stripe_layout(data, meta: OrcMeta, si: dict):
+    """Parse a stripe footer once -> (spans, encodings, writer_tz) where
+    spans maps (column, kind) -> (absolute_offset, length) over RAW
+    (possibly compressed) bytes, in stream order incl. ROW_INDEX."""
     start = si["offset"]
     body_len = si["index_length"] + si["data_length"]
     foot_raw = data[start + body_len: start + body_len + si["footer_length"]]
@@ -262,18 +265,13 @@ def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
         foot_raw = decompress_stream(foot_raw, meta.compression,
                                      meta.block_size)
     foot = _pb_parse(foot_raw)
-    streams = {}
+    spans = {}
     off = start
     for sraw in foot.get(1, []):
         s = _pb_parse(sraw)
         kind, col, ln = _one(s, 1), _one(s, 2), _one(s, 3)
-        raw = data[off: off + ln]
+        spans[(col, kind)] = (off, ln)
         off += ln
-        if kind in (K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY):
-            if meta.compression:
-                raw = decompress_stream(raw, meta.compression,
-                                        meta.block_size)
-            streams[(col, kind)] = raw
     encodings = {}
     for ci, craw in enumerate(foot.get(2, [])):
         c = _pb_parse(craw)
@@ -285,7 +283,64 @@ def _stripe_streams(data: bytes, meta: OrcMeta, si: dict):
     writer_tz = tz_raw.decode() if tz_raw else None
     if writer_tz in ("UTC", "GMT", ""):
         writer_tz = None
+    return spans, encodings, writer_tz
+
+
+def _stripe_streams(data, meta: OrcMeta, si: dict):
+    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)},
+    writer_tz or None)"""
+    spans, encodings, writer_tz = _stripe_layout(data, meta, si)
+    streams = {}
+    for (col, kind), (off, ln) in spans.items():
+        if kind in (K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY):
+            raw = data[off: off + ln]
+            if meta.compression:
+                raw = decompress_stream(raw, meta.compression,
+                                        meta.block_size)
+            streams[(col, kind)] = raw
     return streams, encodings, writer_tz
+
+
+def _parse_row_index(data, meta: OrcMeta, spans, cids):
+    """ROW_INDEX streams -> {cid: [(positions, ColStats|None), ...]} —
+    one entry per row group (`src/row_index.rs:30-256`)."""
+    out = {}
+    for cid in cids:
+        span = spans.get((cid, K_ROW_INDEX))
+        if span is None:
+            continue
+        raw = data[span[0]: span[0] + span[1]]
+        if meta.compression:
+            raw = decompress_stream(raw, meta.compression, meta.block_size)
+        entries = []
+        for eraw in _pb_parse(raw).get(1, []):
+            e = _pb_parse(eraw)
+            positions = _packed_varints(e.get(1, []))
+            st = _parse_col_stats(e[2][0]) if 2 in e else None
+            entries.append((positions, st))
+        out[cid] = entries
+    return out
+
+
+def _positions_layout(meta: OrcMeta, spans, cid: int):
+    """Order and arity of one column's position tuple: [(kind, n_lead,
+    n_extra, is_bit)] where n_lead is 1 (byte offset) or 2 (compressed
+    chunk + in-chunk offset), n_extra the trailing in-run offsets, and
+    is_bit marks bit-RLE streams (PRESENT / boolean DATA) whose final
+    position entry is a bit offset.  Mirrors the writer's
+    `_pos_extras`; returns None for stream sets we cannot slice
+    (dictionary encoding)."""
+    from .orc_writer import _pos_extras
+    kinds = sorted(k for (c, k) in spans
+                   if c == cid and k in (K_PRESENT, K_DATA, K_LENGTH,
+                                         K_SECONDARY))
+    if (cid, K_DICT_DATA) in spans:
+        return None
+    lead = 2 if meta.compression else 1
+    tk = meta.types[cid]["kind"]
+    return [(k, lead, _pos_extras(tk, k),
+             k == K_PRESENT or (k == K_DATA and tk == TK_BOOL))
+            for k in kinds]
 
 
 _ORC_EPOCH_UTC = 1420070400  # 2015-01-01T00:00:00Z, seconds since unix epoch
@@ -498,7 +553,8 @@ def arrow_schema(meta: OrcMeta,
 
 def read_orc(path: str, columns: list[str] | None = None,
              predicate: dict[str, tuple] | None = None,
-             stripe_indices: list[int] | None = None) -> pa.Table:
+             stripe_indices: list[int] | None = None,
+             _stats: dict | None = None) -> pa.Table:
     """Decode a real ORC file to an Arrow table using the engine kernels.
 
     `columns` projects top-level fields (the `ProjectionMask` analog —
@@ -557,13 +613,145 @@ def read_orc(path: str, columns: list[str] | None = None,
 
             if not pred.evaluate(stats_of):
                 continue
-        streams, encodings, writer_tz = _stripe_streams(data, meta, si)
         n = si["n_rows"]
-        cols = [_decode_column(root["subtypes"][i], meta, streams,
-                               encodings, n, writer_tz) for i in want]
-        batches.append(pa.table(cols, names=[names[i] for i in want]))
+        out_names = [names[i] for i in want]
+        want_cids = [root["subtypes"][i] for i in want]
+        # sub-stripe skip: with a predicate, a row index, and clean
+        # (group-aligned) positions, decode only the row groups whose
+        # statistics may match (`src/row_group_filter.rs:51-118` +
+        # positions seek of `src/row_index.rs`)
+        if pred is not None and meta.row_index_stride and \
+                n > meta.row_index_stride:
+            spans, encodings, writer_tz = _stripe_layout(data, meta, si)
+            got = _decode_row_groups(data, meta, spans, encodings, writer_tz,
+                                     si, pred, col_to_cid, want_cids,
+                                     out_names, _stats)
+            if got is not None:
+                batches.extend(got)
+                continue
+        streams, encodings, writer_tz = _stripe_streams(data, meta, si)
+        if _stats is not None:
+            _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + n
+        cols = [_decode_column(cid, meta, streams,
+                               encodings, n, writer_tz) for cid in want_cids]
+        batches.append(pa.table(cols, names=out_names))
     if not batches:
         # typed empty result (null-typed columns would poison downstream
         # concat/cast when one file of a set happens to be fully pruned)
         return arrow_schema(meta, columns).empty_table()
     return pa.concat_tables(batches)
+
+
+def _subtree_cids(meta: OrcMeta, cid: int) -> list[int]:
+    out = [cid]
+    for s in meta.types[cid]["subtypes"]:
+        out.extend(_subtree_cids(meta, s))
+    return out
+
+
+def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
+                       pred, col_to_cid, want_cids, out_names, _stats):
+    """Row-group-selective decode of one stripe.  Returns a list of
+    tables (possibly empty = all groups pruned) or None to signal
+    fallback to whole-stripe decode (no index for a needed column, or
+    positions with nonzero in-run offsets — i.e. a writer that did not
+    flush encoders at group boundaries; seeking mid-run needs decoder
+    run state and is out of scope, as SURVEY §2.4 argues)."""
+    n = si["n_rows"]
+    stride = meta.row_index_stride
+    n_groups = (n + stride - 1) // stride
+    pcols = [c for c in pred.columns() if c in col_to_cid]
+    pcids = [col_to_cid[c] for c in pcols]
+    ridx = _parse_row_index(data, meta, spans, set(pcids))
+    if any(cid not in ridx or len(ridx[cid]) != n_groups for cid in pcids):
+        return None
+    keep = []
+    for g in range(n_groups):
+        def stats_of(col, _g=g):
+            cid = col_to_cid.get(col)
+            if cid is None or cid not in ridx:
+                return None
+            return ridx[cid][_g][1]
+        if pred.evaluate(stats_of):
+            keep.append(g)
+    if _stats is not None:
+        _stats["groups_total"] = _stats.get("groups_total", 0) + n_groups
+        _stats["groups_decoded"] = _stats.get("groups_decoded", 0) + len(keep)
+    if len(keep) == n_groups:
+        return None  # nothing pruned: whole-stripe decode is cheaper
+    if not keep:
+        return []
+    # positions for every column in the projected subtrees
+    need: list[int] = []
+    for cid in want_cids:
+        need.extend(_subtree_cids(meta, cid))
+    layouts = {}
+    for cid in set(need):
+        if not any((cid, k) in spans for k in (K_PRESENT, K_DATA, K_LENGTH,
+                                               K_SECONDARY)):
+            continue  # struct with no own streams
+        lay = _positions_layout(meta, spans, cid)
+        if lay is None:
+            return None
+        layouts[cid] = lay
+    ridx_all = _parse_row_index(data, meta, spans, set(layouts))
+    if any(cid not in ridx_all or len(ridx_all[cid]) != n_groups
+           for cid in layouts):
+        return None
+    # EVERY group's positions must be clean: zero in-chunk and in-run
+    # offsets (a group's end boundary is the NEXT group's start, so one
+    # unclean entry anywhere breaks exact slicing).  Bit streams are the
+    # exception our writer produces: their runs/chunks flush at group
+    # BYTE boundaries, so only the final bit-offset entry may be
+    # nonzero.  Anything else (a writer that did not flush) falls back.
+    for cid, lay in layouts.items():
+        width = sum(lead + extra for _, lead, extra, _b in lay)
+        for positions, _ in ridx_all[cid]:
+            if len(positions) < width:
+                return None
+            i = 0
+            for kind, lead, extra, is_bit in lay:
+                if lead == 2 and positions[i + 1] != 0:
+                    return None
+                n_zero = extra - 1 if is_bit else extra
+                if any(positions[i + lead + j] != 0 for j in range(n_zero)):
+                    return None
+                i += lead + extra
+    from ..kernels.boolean import BitSpan
+    tables = []
+    for g in keep:
+        streams = {}
+        for cid, lay in layouts.items():
+            entries = ridx_all[cid]
+            pos_g = entries[g][0]
+            pos_n = entries[g + 1][0] if g + 1 < n_groups else None
+            i = 0
+            for kind, lead, extra, is_bit in lay:
+                span = spans[(cid, kind)]
+                start = pos_g[i]
+                if is_bit:
+                    # the group's first bits may share a byte with the
+                    # previous group: slice from the marked run start to
+                    # stream end and skip bit_off bits (decode stops
+                    # after the bytes it needs)
+                    raw = data[span[0] + start: span[0] + span[1]]
+                    if meta.compression:
+                        raw = decompress_stream(raw, meta.compression,
+                                                meta.block_size)
+                    streams[(cid, kind)] = BitSpan(
+                        raw, 0, pos_g[i + lead + extra - 1])
+                else:
+                    end = pos_n[i] if pos_n is not None else span[1]
+                    raw = data[span[0] + start: span[0] + end]
+                    if meta.compression:
+                        raw = decompress_stream(raw, meta.compression,
+                                                meta.block_size)
+                    streams[(cid, kind)] = raw
+                i += lead + extra
+        rows_g = min(stride, n - g * stride)
+        if _stats is not None:
+            _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + rows_g
+        cols = [_decode_column(cid, meta, streams, encodings, rows_g,
+                               writer_tz) for cid in want_cids]
+        tables.append(pa.table(cols, names=out_names))
+    return tables

@@ -127,7 +127,8 @@ ORC_MANIFEST_SCHEMA = T.StructType([
 
 
 def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
-                    stripe_rows: int = 65536) -> DataFrame:
+                    stripe_rows: int = 65536,
+                    row_index_stride: int = 0) -> DataFrame:
     """Write a DataFrame as one `.orc` file per partition; returns the
     manifest DataFrame (materialize it to run the write)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -154,7 +155,8 @@ def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
             if b.num_rows == 0:
                 continue
             if writer is None:
-                writer = OrcWriter(path, b.schema, compression)
+                writer = OrcWriter(path, b.schema, compression,
+                                   row_index_stride=row_index_stride)
             pending.append(b)
             pending_rows += b.num_rows
             n += b.num_rows

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.boolean import boolean_encode
+from ..kernels.boolean import boolean_encode, boolean_encode_with_marks
 from ..kernels.byte_rle import byte_rle_encode
 from ..kernels.compression import compress_stream
 from ..kernels.float_codec import float_encode
@@ -29,6 +29,7 @@ from ..kernels.rle_v2 import rle_v2_encode
 from ..kernels.timestamp_decimal import decimal_encode, timestamp_encode_us
 
 from .orc_format import (  # noqa: F401  (shared spec enums)
+    K_ROW_INDEX,
     ENC_DICT,
     ENC_DICT_V2,
     ENC_DIRECT,
@@ -216,7 +217,8 @@ def _utc_to_writer_frame_us(us: np.ndarray, tz_name: str) -> np.ndarray:
 
 
 def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
-                 writer_tz: str | None = None) -> None:
+                 writer_tz: str | None = None, force_present: bool = False,
+                 no_dict: bool = False, defer_bits: bool = False) -> None:
     """Emit streams for column `cid` and recurse into children.
 
     ORC stores child values only for rows where the parent is present,
@@ -225,9 +227,11 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         arr = arr.combine_chunks()
     kind = types[cid][0]
     enc = ENC_DIRECT_V2
-    if arr.null_count:
+    if arr.null_count or (force_present and cid != 0):
         validity = np.asarray(arr.is_valid())
-        out_streams.append((cid, K_PRESENT, boolean_encode(validity)))
+        out_streams.append((cid, K_PRESENT,
+                            ("__bits__", validity) if defer_bits
+                            else boolean_encode(validity)))
         valid = arr.drop_null()
     else:
         validity = None
@@ -237,7 +241,8 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         enc = ENC_DIRECT
         for sub, i in zip(types[cid][1], range(len(types[cid][1]))):
             child = valid.field(i) if cid != 0 else arr.field(i)
-            _encode_tree(child, sub, types, out_streams, encodings, writer_tz)
+            _encode_tree(child, sub, types, out_streams, encodings, writer_tz,
+                         force_present, no_dict, defer_bits)
     elif kind == TK_LIST:
         lv = valid.cast(pa.large_list(valid.type.value_type)) \
             if pa.types.is_list(valid.type) else valid
@@ -245,7 +250,7 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         out_streams.append((cid, K_LENGTH,
                             rle_v2_encode(lengths, signed=False, interop=True)))
         _encode_tree(lv.flatten(), types[cid][1][0], types, out_streams,
-                     encodings, writer_tz)
+                     encodings, writer_tz, force_present, no_dict, defer_bits)
     elif kind == TK_MAP:
         t = valid.type
         lv = valid.cast(pa.list_(pa.struct([("key", t.key_type),
@@ -255,13 +260,15 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
                             rle_v2_encode(lengths, signed=False, interop=True)))
         entries = lv.flatten()
         _encode_tree(entries.field(0), types[cid][1][0], types, out_streams,
-                     encodings, writer_tz)
+                     encodings, writer_tz, force_present, no_dict, defer_bits)
         _encode_tree(entries.field(1), types[cid][1][1], types, out_streams,
-                     encodings, writer_tz)
+                     encodings, writer_tz, force_present, no_dict, defer_bits)
     elif kind == TK_BOOL:
         enc = ENC_DIRECT
         vals = valid.to_numpy(zero_copy_only=False).astype(bool)
-        out_streams.append((cid, K_DATA, boolean_encode(vals)))
+        out_streams.append((cid, K_DATA,
+                            ("__bits__", vals) if defer_bits
+                            else boolean_encode(vals)))
     elif kind == TK_BYTE:
         enc = ENC_DIRECT
         vals = valid.to_numpy(zero_copy_only=False).astype(np.int8)
@@ -297,7 +304,7 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
     elif kind in (TK_STRING, TK_BINARY):
         n = len(valid)
         use_dict = False
-        if kind == TK_STRING and n > 64:
+        if kind == TK_STRING and n > 64 and not no_dict:
             step = max(n // 1024, 1)
             sample = valid.take(np.arange(0, n, step))
             use_dict = len(sample.unique()) <= max(len(sample) // 2, 1)
@@ -332,18 +339,51 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
     encodings[cid] = (enc, 0)
 
 
+def _pos_extras(col_kind: int, stream_kind: int) -> int:
+    """Number of trailing zero position entries a stream contributes to
+    a RowIndexEntry beyond its byte offset (public ORC spec, row index
+    positions): RLE streams add a values-into-run skip, bit streams add
+    a run skip AND a bit offset, raw byte streams add nothing.  The
+    writer chunk-flushes every encoder at group boundaries, so the
+    extras are always zero — but they must be PRESENT for external
+    readers to parse the tuples."""
+    if stream_kind == K_PRESENT:
+        return 2
+    if stream_kind == K_DATA:
+        if col_kind == TK_BOOL:
+            return 2
+        if col_kind in (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
+                        TK_TIMESTAMP):
+            return 1  # RLE value skip
+        return 0      # float/double/string/binary/decimal-varint bytes
+    if stream_kind in (K_LENGTH, K_SECONDARY):
+        return 1      # RLE value skip
+    return 0
+
+
 class OrcWriter:
-    """Streaming ORC writer: one stripe per `write_batch` call."""
+    """Streaming ORC writer: one stripe per `write_batch` call.
+
+    With ``row_index_stride`` > 0 every stripe also carries ROW_INDEX
+    streams (`src/row_index.rs:30-256` surface): per-`stride`-row-group
+    stream positions plus per-group ColumnStatistics, enabling
+    sub-stripe skipping by readers.  Encoders flush at group boundaries
+    (each group's streams encoded independently and concatenated — a
+    valid ORC encoding), so every position's in-run offsets are zero;
+    dictionary encoding is disabled and PRESENT is always emitted so
+    the stream set is identical across groups."""
 
     def __init__(self, path: str, schema: pa.Schema, compression: int = 0,
                  block_size: int = 256 * 1024,
-                 writer_timezone: str = "UTC"):
+                 writer_timezone: str = "UTC",
+                 row_index_stride: int = 0):
         self.types = _build_types(schema)  # validates types up front
         self.path = path
         self.schema = schema
         self.compression = compression
         self.block_size = block_size
         self.writer_timezone = writer_timezone
+        self.row_index_stride = row_index_stride
         # tz name must resolve NOW (a bad name failing at read time, or
         # only in external readers, would corrupt every stripe silently)
         if writer_timezone not in ("UTC", "GMT"):
@@ -352,7 +392,7 @@ class OrcWriter:
         self._f = open(path, "wb")
         self._f.write(b"ORC")
         self._offset = 3
-        self._stripes: list[tuple[int, int, int, int]] = []
+        self._stripes: list[tuple[int, int, int, int, int]] = []
         self._stripe_stats: list[dict[int, bytes]] = []
         self._n_rows = 0
 
@@ -361,25 +401,146 @@ class OrcWriter:
             return raw
         return compress_stream(raw, self.compression, self.block_size)
 
+    def _wrap_cuts(self, raw: bytes, cuts: list[int]):
+        """Compress `raw` as independent chunk sequences split at the
+        given byte offsets; returns (blob, {raw_offset: compressed
+        offset}) so each cut is addressable as a compression-chunk
+        start."""
+        blob = bytearray()
+        cmap: dict[int, int] = {0: 0}
+        prev = 0
+        for c in sorted(set(cuts)):
+            if c > prev:
+                blob += self._wrap(raw[prev:c])
+                prev = c
+            cmap[c] = len(blob)
+        if prev < len(raw):
+            blob += self._wrap(raw[prev:])
+        return bytes(blob), cmap
+
     def write_batch(self, batch: pa.RecordBatch) -> None:
         if batch.num_rows == 0:
             return
-        streams: list[tuple[int, int, bytes]] = []
-        encodings: dict[int, tuple[int, int]] = {0: (ENC_DIRECT, 0)}
-        stats: dict[int, bytes] = {}
-        for i, sub in enumerate(self.types[0][1]):
-            col = batch.column(i)
-            wtz = self.writer_timezone \
-                if self.writer_timezone not in ("UTC", "GMT") else None
-            _encode_tree(col, sub, self.types, streams, encodings, wtz)
-            stats[sub] = _column_statistics(col, self.types[sub][0])
+        wtz = self.writer_timezone \
+            if self.writer_timezone not in ("UTC", "GMT") else None
+        stride = self.row_index_stride
+        index_bytes = b""
+        index_streams: list[tuple[int, bytes]] = []
+        if not stride:
+            streams: list[tuple[int, int, bytes]] = []
+            encodings: dict[int, tuple[int, int]] = {0: (ENC_DIRECT, 0)}
+            stats: dict[int, bytes] = {}
+            for i, sub in enumerate(self.types[0][1]):
+                col = batch.column(i)
+                _encode_tree(col, sub, self.types, streams, encodings, wtz)
+                stats[sub] = _column_statistics(col, self.types[sub][0])
+            streams.sort(key=lambda s: (s[0], s[1]))
+            wrapped = [(c, k, self._wrap(b)) for c, k, b in streams]
+        else:
+            # row-index path: every group's streams encoded (and, when
+            # compressed, wrapped) independently, then concatenated —
+            # positions are clean per-group byte offsets
+            groups = [batch.slice(o, stride)
+                      for o in range(0, batch.num_rows, stride)]
+            encodings = {0: (ENC_DIRECT, 0)}
+            per_group: list[list[tuple[int, int, object]]] = []
+            top_stats: list[dict[int, bytes]] = []
+            for g in groups:
+                sg: list[tuple[int, int, object]] = []
+                eg: dict[int, tuple[int, int]] = {0: (ENC_DIRECT, 0)}
+                st: dict[int, bytes] = {}
+                for i, sub in enumerate(self.types[0][1]):
+                    col = g.column(i)
+                    _encode_tree(col, sub, self.types, sg, eg, wtz,
+                                 force_present=True, no_dict=True,
+                                 defer_bits=True)
+                    st[sub] = _column_statistics(col, self.types[sub][0])
+                sg.sort(key=lambda x: (x[0], x[1]))
+                per_group.append(sg)
+                top_stats.append(st)
+                encodings = eg
+            keys = [(c, k) for c, k, _ in per_group[0]]
+            for sg in per_group[1:]:
+                assert [(c, k) for c, k, _ in sg] == keys, \
+                    "row-index groups emitted differing stream sets"
+            # per stream, the full position tuple of every group
+            stream_pos: dict[tuple[int, int], list[list[int]]] = {}
+            wrapped = []
+            for ki, key in enumerate(keys):
+                chunks = [sg[ki][2] for sg in per_group]
+                extras = _pos_extras(self.types[key[0]][0], key[1])
+                if chunks and isinstance(chunks[0], tuple):
+                    # bit stream (PRESENT / bool DATA): ONE continuous
+                    # bitstream with byte-RLE runs (and compression
+                    # chunks) flushed at each group's byte boundary —
+                    # bit-level group starts are addressed by the
+                    # (values-into-run=0, bit offset) position entries
+                    arrs = [c[1] for c in chunks]
+                    bounds = []
+                    acc = 0
+                    for a in arrs[:-1]:
+                        acc += len(a)
+                        bounds.append(acc)
+                    full = np.concatenate(arrs) if arrs else \
+                        np.zeros(0, dtype=bool)
+                    raw, marks = boolean_encode_with_marks(full, bounds)
+                    if self.compression:
+                        blob, cmap = self._wrap_cuts(
+                            raw, [m[0] for m in marks])
+                        pos = [[0, 0, 0, 0]] + [
+                            [cmap[m[0]], 0, m[1], m[2]] for m in marks]
+                    else:
+                        blob = raw
+                        pos = [[0, 0, 0]] + [list(m) for m in marks]
+                else:
+                    wchunks = [self._wrap(c) for c in chunks]
+                    off = 0
+                    pos = []
+                    for ch in wchunks:
+                        lead = [off, 0] if self.compression else [off]
+                        pos.append(lead + [0] * extras)
+                        off += len(ch)
+                    blob = b"".join(wchunks)
+                stream_pos[key] = pos
+                wrapped.append((key[0], key[1], blob))
+            stats = {}
+            for i, sub in enumerate(self.types[0][1]):
+                stats[sub] = _column_statistics(batch.column(i),
+                                                self.types[sub][0])
+            # RowIndex message per column: one entry per group with the
+            # packed positions of each of its streams (in kind order)
+            by_cid: dict[int, list[int]] = {}
+            for c, k in keys:
+                by_cid.setdefault(c, []).append(k)
+            for cid in sorted(by_cid):
+                kinds = sorted(by_cid[cid])
+                ri = bytearray()
+                for gi in range(len(groups)):
+                    positions: list[int] = []
+                    for k in kinds:
+                        positions += stream_pos[(cid, k)][gi]
+                    entry = bytearray()
+                    packed = bytearray()
+                    for pv in positions:
+                        _pb_varint(packed, pv)
+                    _pb_field_bytes(entry, 1, bytes(packed))
+                    gst = top_stats[gi].get(cid)
+                    if gst is not None:
+                        _pb_field_bytes(entry, 2, gst)
+                    _pb_field_bytes(ri, 1, bytes(entry))
+                index_streams.append((cid, self._wrap(bytes(ri))))
+            index_bytes = b"".join(b for _, b in index_streams)
         self._stripe_stats.append(stats)
-        streams.sort(key=lambda s: (s[0], s[1]))
 
         foot = bytearray()
         data = bytearray()
-        for cid, skind, s in streams:
-            s = self._wrap(s)
+        for cid, blob in index_streams:
+            entry = bytearray()
+            _pb_field_varint(entry, 1, K_ROW_INDEX)
+            _pb_field_varint(entry, 2, cid)
+            _pb_field_varint(entry, 3, len(blob))
+            _pb_field_bytes(foot, 1, bytes(entry))
+        for cid, skind, s in wrapped:
             entry = bytearray()
             _pb_field_varint(entry, 1, skind)
             _pb_field_varint(entry, 2, cid)
@@ -397,11 +558,12 @@ class OrcWriter:
                         self.writer_timezone.encode())  # writerTimezone
         foot_w = self._wrap(bytes(foot))
 
+        self._f.write(index_bytes)
         self._f.write(data)
         self._f.write(foot_w)
-        self._stripes.append((self._offset, len(data), len(foot_w),
-                              batch.num_rows))
-        self._offset += len(data) + len(foot_w)
+        self._stripes.append((self._offset, len(index_bytes), len(data),
+                              len(foot_w), batch.num_rows))
+        self._offset += len(index_bytes) + len(data) + len(foot_w)
         self._n_rows += batch.num_rows
 
     def close(self) -> None:
@@ -420,10 +582,10 @@ class OrcWriter:
         footer = bytearray()
         _pb_field_varint(footer, 1, 3)  # headerLength ("ORC")
         _pb_field_varint(footer, 2, self._offset)  # contentLength
-        for off, dlen, flen, rows in self._stripes:
+        for off, ilen, dlen, flen, rows in self._stripes:
             si = bytearray()
             _pb_field_varint(si, 1, off)
-            _pb_field_varint(si, 2, 0)      # indexLength
+            _pb_field_varint(si, 2, ilen)
             _pb_field_varint(si, 3, dlen)
             _pb_field_varint(si, 4, flen)
             _pb_field_varint(si, 5, rows)
@@ -440,7 +602,7 @@ class OrcWriter:
                 _pb_field_varint(tmsg, 6, t.scale)
             _pb_field_bytes(footer, 4, bytes(tmsg))
         _pb_field_varint(footer, 6, self._n_rows)
-        _pb_field_varint(footer, 8, 0)  # rowIndexStride: no row index
+        _pb_field_varint(footer, 8, self.row_index_stride)
         footer_w = self._wrap(bytes(footer))
         self._f.write(footer_w)
 
@@ -460,10 +622,13 @@ class OrcWriter:
 
 
 def write_orc(path: str, table: pa.Table, compression: int = 0,
-              stripe_rows: int = 65536) -> None:
+              stripe_rows: int = 65536,
+              row_index_stride: int = 0) -> None:
     """Write an Arrow table as a real ORC file (one stripe per
-    ~stripe_rows)."""
-    w = OrcWriter(path, table.schema, compression)
+    ~stripe_rows; `row_index_stride` > 0 adds ROW_INDEX streams for
+    sub-stripe skipping)."""
+    w = OrcWriter(path, table.schema, compression,
+                  row_index_stride=row_index_stride)
     for batch in table.combine_chunks().to_batches(max_chunksize=stripe_rows):
         w.write_batch(batch)
     w.close()
