@@ -65,46 +65,65 @@ _CAT_PATCHED = 3
 
 def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
     """Replay of the state-machine control flow (`rle_v2.rle_v2_encode`)
-    emitting (kind, start, len) with kind 0=literal block, 1=fixed run."""
+    emitting (kind, start, len) with kind 0=literal block, 1=fixed run.
+
+    Run detection finds ONLY the >=3-value runs directly (two shifted
+    compares + a nonzero over run interiors) instead of materializing
+    every value-change boundary — on zipf token data most runs are
+    length 1-2, so the old starts/lens arrays were ~40 bytes per input
+    value of pure memory traffic."""
     n = len(v)
     segs: list[tuple[int, int, int]] = []
-
-    change = np.nonzero(v[1:] != v[:-1])[0] + 1
-    starts = np.concatenate((np.zeros(1, dtype=np.int64), change))
-    lens = np.diff(np.concatenate((starts, np.array([n], dtype=np.int64))))
-    long_runs = np.nonzero(lens >= 3)[0]
+    ap = segs.append
+    M = MAX_RUN_LENGTH
+    if n < 3:
+        if n:
+            ap((0, 0, n))
+        return segs
+    eq = v[1:] == v[:-1]
+    m3 = eq[1:] & eq[:-1]  # m3[i] <=> v[i] == v[i+1] == v[i+2]
+    pos = np.nonzero(m3)[0]
+    if len(pos):
+        brk = np.nonzero(np.diff(pos) > 1)[0]
+        rs = np.concatenate(([pos[0]], pos[brk + 1]))
+        rend = np.concatenate((pos[brk], [pos[-1]])) + 3
+        rs_l = rs.tolist()
+        rlen_l = (rend - rs).tolist()
+    else:
+        rs_l = []
+        rlen_l = []
 
     lit_a = 0
     lit_b = 0
     fixed_idx = -1
     fixed_count = 0
 
-    def bulk_literals(end: int) -> None:
-        nonlocal lit_a, lit_b
-        lit_b = end
-        while lit_b - lit_a >= MAX_RUN_LENGTH:
-            segs.append((0, lit_a, MAX_RUN_LENGTH))
-            lit_a += MAX_RUN_LENGTH
-
-    def feed_long_run(s: int, length: int) -> None:
-        nonlocal lit_a, lit_b, fixed_idx, fixed_count
+    for s, length in zip(rs_l, rlen_l):
+        if fixed_idx >= 0:
+            ap((1, fixed_idx, fixed_count))
+            fixed_idx = -1
+        # bulk literals up to the run start
+        lit_b = s
+        while lit_b - lit_a >= M:
+            ap((0, lit_a, M))
+            lit_a += M
+        # feed the long run
         consumed = 0
         m = lit_b - lit_a
         if m > 0:
-            if m == MAX_RUN_LENGTH - 1:
-                segs.append((0, lit_a, s + 1 - lit_a))
+            if m == M - 1:
+                ap((0, lit_a, s + 1 - lit_a))
                 consumed = 1
-            elif m == MAX_RUN_LENGTH - 2:
-                segs.append((0, lit_a, s + 2 - lit_a))
+            elif m == M - 2:
+                ap((0, lit_a, s + 2 - lit_a))
                 consumed = 2
             else:
-                segs.append((0, lit_a, s - lit_a))
+                ap((0, lit_a, s - lit_a))
             lit_a = lit_b = s + consumed
         rem = length - consumed
-        chunks = rem // MAX_RUN_LENGTH
-        for c in range(chunks):
-            segs.append((1, s, MAX_RUN_LENGTH))
-        r = rem % MAX_RUN_LENGTH
+        for _ in range(rem // M):
+            ap((1, s, M))
+        r = rem % M
         end = s + length
         if r == 0:
             lit_a = lit_b = end
@@ -114,24 +133,18 @@ def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
             lit_a = lit_b = end
             fixed_idx, fixed_count = end - r, r
 
-    for ri in long_runs:
-        s = int(starts[ri])
-        length = int(lens[ri])
-        if fixed_idx >= 0:
-            segs.append((1, fixed_idx, fixed_count))
-            fixed_idx = -1
-        bulk_literals(s)
-        feed_long_run(s, length)
-
     if fixed_idx >= 0 and lit_b < n:
-        segs.append((1, fixed_idx, fixed_count))
+        ap((1, fixed_idx, fixed_count))
         fixed_idx = -1
-    bulk_literals(n)
+    lit_b = n
+    while lit_b - lit_a >= M:
+        ap((0, lit_a, M))
+        lit_a += M
 
     if fixed_idx >= 0:
-        segs.append((1, fixed_idx, fixed_count))
+        ap((1, fixed_idx, fixed_count))
     elif lit_b > lit_a:
-        segs.append((0, lit_a, lit_b - lit_a))
+        ap((0, lit_a, lit_b - lit_a))
     return segs
 
 
@@ -702,10 +715,10 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         estart = pstart[psel_patched[order]]
         e_ll = ll[pk[order]]
         tote = int(e_ll.sum())
-        pst = np.zeros(len(order), dtype=np.int64)
-        np.cumsum(e_ll[:-1], out=pst[1:])
-        eidx = (np.repeat(estart, e_ll)
-                + (np.arange(tote, dtype=np.int64) - np.repeat(pst, e_ll)))
+        pst = np.zeros(len(order), dtype=np.int32)
+        np.cumsum(e_ll[:-1].astype(np.int32), out=pst[1:])
+        eidx = (np.repeat(estart.astype(np.int32), e_ll)
+                + (np.arange(tote, dtype=np.int32) - np.repeat(pst, e_ll)))
         brl_sorted = brl_vals[eidx]  # u32 stays u32 in the pack
         ecum = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(e_ll, out=ecum[1:])

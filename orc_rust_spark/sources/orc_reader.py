@@ -504,6 +504,24 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         idx = np.full(n, -1, dtype=np.int64)
         idx[validity] = np.arange(n_valid, dtype=np.int64)
         return arr.take(pa.array(idx, pa.int64(), mask=~validity))
+    if kind == TK_UNION:
+        # sparse-union assembly (`src/array_decoder/union.rs:36-163`):
+        # byte TAG stream selects the variant; ORC's dense children are
+        # re-spaced to full length for arrow's sparse layout
+        if validity is not None:
+            raise TypeError("union columns with PRESENT are unsupported")
+        tags = byte_rle_decode(data(), n).view(np.int8)
+        children = []
+        for i, sub in enumerate(t["subtypes"]):
+            sel = tags == np.int8(i)
+            cnt = int(sel.sum())
+            dense = _decode_column(sub, meta, streams, encodings, cnt,
+                                   writer_tz)
+            idx = np.full(n, -1, dtype=np.int64)
+            idx[sel] = np.arange(cnt, dtype=np.int64)
+            children.append(dense.take(pa.array(idx, pa.int64(),
+                                                mask=idx < 0)))
+        return pa.UnionArray.from_sparse(pa.array(tags, pa.int8()), children)
     if kind in (TK_TIMESTAMP, TK_TIMESTAMP_INSTANT):
         ns = timestamp_decode(data(), data(K_SECONDARY), n_valid)
         if kind == TK_TIMESTAMP and writer_tz is not None:
@@ -538,6 +556,10 @@ def _arrow_type_of(meta: OrcMeta, cid: int) -> pa.DataType:
     if kind == TK_STRUCT:
         return pa.struct([(nm, _arrow_type_of(meta, sub))
                           for nm, sub in zip(t["field_names"], t["subtypes"])])
+    if kind == TK_UNION:
+        return pa.union([pa.field(str(i), _arrow_type_of(meta, sub))
+                         for i, sub in enumerate(t["subtypes"])],
+                        mode="sparse")
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
 
 

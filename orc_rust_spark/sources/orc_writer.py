@@ -69,6 +69,8 @@ _PA_SCALAR_TO_ORC = {
 def _orc_kind(t: pa.DataType) -> int:
     if t in _PA_SCALAR_TO_ORC:
         return _PA_SCALAR_TO_ORC[t]
+    if pa.types.is_union(t):
+        return TK_UNION
     if pa.types.is_timestamp(t):
         return TK_TIMESTAMP
     if pa.types.is_decimal(t):
@@ -166,6 +168,9 @@ def _build_types(schema: pa.Schema):
                 f = t.field(i)
                 entry[2].append(f.name)
                 entry[1].append(add(f.type))
+        elif kind == TK_UNION:
+            for i in range(t.num_fields):
+                entry[1].append(add(t.field(i).type))
         elif kind == TK_LIST:
             entry[1].append(add(t.value_type))
         elif kind == TK_MAP:
@@ -227,6 +232,21 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         arr = arr.combine_chunks()
     kind = types[cid][0]
     enc = ENC_DIRECT_V2
+    if kind == TK_UNION:
+        # ORC unions carry no PRESENT here (arrow unions have no
+        # validity): a byte TAG stream + DENSE children (each child
+        # holds only the rows of its tag, `union.rs:36-163`)
+        if arr.type.mode != "sparse":
+            raise TypeError("only sparse unions are supported")
+        comb = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        tags = np.asarray(comb.type_codes, dtype=np.int8)
+        out_streams.append((cid, K_DATA, byte_rle_encode(tags)))
+        for i, sub in enumerate(types[cid][1]):
+            dense = comb.field(i).filter(pa.array(tags == i))
+            _encode_tree(dense, sub, types, out_streams, encodings,
+                         writer_tz, False, no_dict, defer_bits)
+        encodings[cid] = (ENC_DIRECT, 0)
+        return
     if arr.null_count or (force_present and cid != 0):
         validity = np.asarray(arr.is_valid())
         out_streams.append((cid, K_PRESENT,
