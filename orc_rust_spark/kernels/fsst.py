@@ -102,19 +102,26 @@ class SymbolTable:
         h1 = c1 >= 0
         mlen[h1] = 1
         mcode[h1] = c1[h1]
-        # 2-byte LUT
-        if n >= 2:
-            d32 = data.astype(np.int32)
-            p2 = (d32[:-1] << np.int32(8)) | d32[1:]
-            c2 = self._lut2[p2]
-            h2 = c2 >= 0
-            mlen[:-1][h2] = 2
-            mcode[:-1][h2] = c2[h2]
-        # len>=3: one hash probe per position
+        key3 = None
         if n >= 3 and len(self.symbols):
             key3 = ((data[:-2].astype(np.uint32) << np.uint32(16))
                     | (data[1:-1].astype(np.uint32) << np.uint32(8))
                     | data[2:])
+        # 2-byte LUT — the prefix is the top 16 bits of key3 when that
+        # was already built (saves the int32 shift/or passes)
+        if n >= 2:
+            if key3 is not None:
+                c2 = self._lut2[key3 >> np.uint32(8)]
+                last2 = (np.uint32(data[-2]) << np.uint32(8)) | data[-1]
+                c2 = np.concatenate((c2, self._lut2[[last2]]))
+            else:
+                d32 = data.astype(np.int32)
+                c2 = self._lut2[(d32[:-1] << np.int32(8)) | d32[1:]]
+            h2 = c2 >= 0
+            mlen[:-1][h2] = 2
+            mcode[:-1][h2] = c2[h2]
+        # len>=3: one hash probe per position
+        if key3 is not None:
             slot = (key3 * _H3_MULT) >> np.uint32(32 - _H3_BITS)
             c3 = self._h3code[slot]
             cand = np.nonzero(c3 >= 0)[0]
@@ -169,10 +176,12 @@ def _chain(mlen: np.ndarray) -> np.ndarray:
     np.minimum(nxt, it(n), out=nxt)
     nxt_ext = np.concatenate((nxt, np.array([n], dtype=it)))
 
-    # adaptive block: ~sqrt(n) balances the scalar start walk (n/BLOCK
-    # iterations) against BLOCK row-gathers — the fixed 1024 spent ~2ms
-    # of gather overhead per call on the small training samples
-    logb = min(max((n.bit_length() + 1) // 2, 4), 10)
+    # adaptive block, capped low: each doubling of BLOCK costs one FULL
+    # composition gather over n (the dominant traffic), while the scalar
+    # start walk it saves only touches ~0.2n/BLOCK positions — measured
+    # fastest around 2^5 on 1.5MB text, and small caps also avoid the
+    # fixed gather overhead on the tiny training samples
+    logb = min(max((n.bit_length() + 1) // 2, 4), 5)
     BLOCK = 1 << logb
     J = nxt_ext
     for _ in range(logb):  # 2^logb = BLOCK codes per jump
