@@ -1,0 +1,68 @@
+"""CLI tools (`sources/orc_tools.py`) — the `src/bin/orc-{export,
+metadata,stats}.rs` analogs, driven through main() and the module
+entrypoint."""
+
+from __future__ import annotations
+
+import io
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_rust_spark.sources.orc_tools import main
+from orc_rust_spark.sources.orc_writer import write_orc
+
+
+@pytest.fixture()
+def orc_file(tmp_path):
+    path = str(tmp_path / "t.orc")
+    tbl = pa.table({
+        "k": pa.array(np.arange(1000, dtype=np.int64)),
+        "s": pa.array([f"v{i}" if i % 5 else None for i in range(1000)]),
+    })
+    write_orc(path, tbl, stripe_rows=400)
+    return path
+
+
+def _run(argv):
+    out = io.StringIO()
+    assert main(argv, out=out) == 0
+    return out.getvalue()
+
+
+def test_metadata(orc_file):
+    text = _run(["metadata", orc_file, "-s"])
+    assert "number of rows: 1000" in text
+    assert "number of stripes: 3" in text
+    assert "k: bigint" in text and "s: string" in text
+    assert "stripe index: 2" in text
+
+
+def test_stats(orc_file):
+    text = _run(["stats", orc_file])
+    assert "column: k" in text
+    assert "* Minimum: 0" in text and "* Maximum: 999" in text
+    assert "* Has nulls: true" in text  # the s column
+
+
+def test_export_csv_and_json(orc_file):
+    csv = _run(["export", orc_file, "-n", "3"])
+    lines = csv.strip().splitlines()
+    assert lines[0].replace('"', "") == "k,s"
+    assert lines[1].startswith("0,")
+    js = _run(["export", orc_file, "-f", "json", "-n", "2", "-c", "k"])
+    rows = [json.loads(x) for x in js.strip().splitlines()]
+    assert rows == [{"k": 0}, {"k": 1}]
+
+
+def test_module_entrypoint(orc_file):
+    r = subprocess.run(
+        [sys.executable, "-m", "orc_rust_spark.sources.orc_tools",
+         "metadata", orc_file],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0
+    assert "number of stripes" in r.stdout
