@@ -33,10 +33,14 @@ def __getattr__(name):
     orc-rust `ArrowReader`  -> `read_orc` (Arrow) / `read_orc_spark`
     orc-rust `ArrowWriter`  -> `write_orc` / `OrcWriter` / `write_orc_spark`
     `read_metadata`         -> `read_metadata` / `orc_file_stats`
+    `Predicate` (fork)      -> `Predicate` (stripe + row-group skip)
     stripe engine           -> `encode_stripe` / `decode_stripe` (+
                                `encode_stripe_rowgroups` row-group index)
+    CLI bins                -> python -m orc_rust_spark.sources.orc_tools
     """
     lazy = {
+        "Predicate": ("orc_rust_spark.sources.predicate", "Predicate"),
+        "ColStats": ("orc_rust_spark.sources.predicate", "ColStats"),
         "read_orc": ("orc_rust_spark.sources.orc_reader", "read_orc"),
         "read_metadata": ("orc_rust_spark.sources.orc_reader", "read_metadata"),
         "write_orc": ("orc_rust_spark.sources.orc_writer", "write_orc"),
