@@ -279,15 +279,25 @@ def train(data: np.ndarray, iterations: int = 4,
     return table
 
 
-def fsst_compress(blob: bytes, iterations: int = 4) -> bytes:
-    data = np.frombuffer(blob, dtype=np.uint8)
-    table = train(data, iterations)
+fsst_train = train  # public alias (table reuse across probe + full encode)
+
+
+def fsst_compress_with(data: np.ndarray, table: SymbolTable) -> bytes:
+    """Compress with an already-trained table (identical bytes to
+    `fsst_compress` when the table came from `train` on the same data —
+    the table is self-describing, so callers may reuse one table for a
+    cheap probe estimate AND the full encode without retraining)."""
     codes = _parse(data, table)
     out = bytearray()
     out += table.to_bytes()
     write_varint(out, len(codes))
     out += codes.tobytes()
     return bytes(out)
+
+
+def fsst_compress(blob: bytes, iterations: int = 4) -> bytes:
+    data = np.frombuffer(blob, dtype=np.uint8)
+    return fsst_compress_with(data, train(data, iterations))
 
 
 def fsst_decompress(buf) -> bytes:

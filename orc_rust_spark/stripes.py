@@ -257,13 +257,21 @@ def _encode_string_auto(arr: pa.Array) -> tuple[int, int, dict[int, bytes]]:
                 codec, aux = C_STRING_DICT, len(uniq_arr)
                 streams = {K_DATA: idx_stream, K_DICT_LENGTH: dl_stream,
                            K_DICT_DATA: dict_blob}
-    # FSST attempt, sample-gated (blob must be big enough to amortize the
-    # symbol table and the estimate must predict a real win)
+    # FSST attempt, sample-gated (blob must be big enough to amortize
+    # the symbol table and the estimate must predict a real win).  The
+    # table trains ONCE on the leading 16 KiB — `fsst_compress(probe)`
+    # would train on exactly the same bytes, so reusing the table for
+    # the probe estimate and the full encode is byte-identical while
+    # skipping a duplicate train + probe parse per stripe
     if len(data_blob) >= 2048:
-        probe = data_blob[: 1 << 14]
-        est = fsst_compress(probe)
-        if len(est) * 10 < len(probe) * 8:  # predicted ratio > 1.25
-            full = est if len(probe) == len(data_blob) else fsst_compress(data_blob)
+        from .kernels.fsst import fsst_compress_with, fsst_train
+        data_np = np.frombuffer(data_blob, dtype=np.uint8)
+        table = fsst_train(data_np)
+        probe_n = 1 << 14
+        est = fsst_compress_with(data_np[:probe_n], table)
+        if len(est) * 10 < min(len(data_blob), probe_n) * 8:  # ratio > 1.25
+            full = est if len(data_blob) <= probe_n \
+                else fsst_compress_with(data_np, table)
             best = sum(len(s) for s in streams.values())  # current winner
             if len(full) + len(length_stream) < best:
                 codec, aux = C_FSST, 0
