@@ -427,8 +427,6 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     # ---- patched-base derivation (vectorized; 255-gap jump blocks take
     # the scalar reference walk) ----
     brl_95 = np.zeros(K, dtype=np.int64)
-    psel = np.empty(0, dtype=np.int64)
-    is_patched = np.empty(0, dtype=bool)
     # per-block-k patch state (arrays; the dict holds only the rare
     # jump-patch blocks that took the scalar reference walk)
     pb_patch: dict[int, np.ndarray] = {}    # k -> packed patch words (jump)
@@ -438,61 +436,55 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     pb_t95 = np.zeros(K, dtype=np.int64)    # brl_95p per k
     scalar_parts: dict[int, bytes] = {}     # k -> full emitted bytes
     if pc.any():
-        pmask = pc[seg_of]
-        pseg = seg_of[pmask]
+        # FULL-domain base reduction: on zipf token data ~75% of literal
+        # elements sit in patched-candidate blocks, so compacting via
+        # pmask/remap gathers cost more than the few garbage-block values
+        # it skipped.  Non-candidate blocks produce garbage stats that
+        # are never read.
         if narrow:
             # base-reduced values of an int32 block always fit uint32;
             # wrapping u32 subtraction is exact and halves every
             # derivation/pack pass's memory traffic
-            brl_vals = (g[pmask].astype(np.uint32)
-                        - vmin[pseg].astype(np.uint32))
+            brl_vals = g.astype(np.uint32) - vmin.astype(np.uint32)[seg_of]
         else:
-            brl_vals = g[pmask].astype(I64) - vmin[pseg]
-        # remap candidate segment ids to 0..P-1 for a compact histogram
-        psel = np.nonzero(pc)[0]
-        remap = np.zeros(K, dtype=np.int32)
-        remap[psel] = np.arange(len(psel), dtype=np.int32)
-        pseg_local = remap[pseg]
+            brl_vals = g.astype(I64) - vmin[seg_of]
         pcodes = _ENCODE_BIT_WIDTH_LUT32[bits_used(
             brl_vals if narrow else brl_vals.astype(U64))]
-        phist = np.bincount(pseg_local * np.int32(32) + pcodes,
-                            minlength=len(psel) * 32).reshape(len(psel), 32)
-        p95 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(phist, _per_len(ll[psel], 0.95))]
-        brl_100 = _ALIGNED_WIDTH_LUT[bits_used(range_u[psel])]
-        is_patched = brl_100 != p95
-        cat[psel[is_patched]] = _CAT_PATCHED
-        brl_95[psel] = p95
-        pstart = np.zeros(len(psel), dtype=np.int64)
-        np.cumsum(ll[psel][:-1], out=pstart[1:])
+        phist = np.bincount(seg_of * np.int32(32) + pcodes,
+                            minlength=K * 32).reshape(K, 32)
+        p95_k = _DECODE_BIT_WIDTH_LUT[_percentile_stop(phist, _per_len(ll, 0.95))]
+        brl_100_k = _ALIGNED_WIDTH_LUT[bits_used(range_u)]
+        is_patched_k = pc & (brl_100_k != p95_k)
+        cat[is_patched_k] = _CAT_PATCHED
+        brl_95[pc] = p95_k[pc]
 
-        P = len(psel)
-        jj = np.nonzero(is_patched)[0]
-        pbw_arr = np.zeros(P, dtype=np.int64)
-        t95 = np.zeros(P, dtype=np.int64)
-        pbw_arr[jj] = _FIXED_BITS_LUT[brl_100[jj] - p95[jj]]
-        t95[jj] = p95[jj]
-        adj = pbw_arr == 64  # only set on jj rows; others are 0
-        pbw_arr[adj] = 56
-        t95[adj] = 8
-        thr = np.full(P, 64, dtype=np.int64)  # non-patched: mask everything
-        thr[jj] = t95[jj]
+        jj = np.nonzero(is_patched_k)[0]  # K-domain patched block ids
+        pbw_k = np.zeros(K, dtype=np.int64)
+        t95_k = np.zeros(K, dtype=np.int64)
+        pbw_k[jj] = _FIXED_BITS_LUT[brl_100_k[jj] - p95_k[jj]]
+        t95_k[jj] = p95_k[jj]
+        adj = pbw_k == 64  # only set on jj rows; others are 0
+        pbw_k[adj] = 56
+        t95_k[adj] = 8
+        thr = np.full(K, 64, dtype=np.int64)  # non-patched: mask everything
+        thr[jj] = t95_k[jj]
         if narrow:
             # u32 brl domain: t95 < brl_100 <= 32, so thresholds fit;
             # non-patched rows use the all-ones mask (never exceeded)
             brl_u = brl_vals  # uint32, base-reduced, non-negative
-            U = np.uint32
             blk_mask = np.where(thr >= 32, np.uint32(0xFFFFFFFF),
-                                (U(1) << np.minimum(thr, 31).astype(U)) - U(1))
+                                (np.uint32(1)
+                                 << np.minimum(thr, 31).astype(np.uint32))
+                                - np.uint32(1))
         else:
             brl_u = brl_vals.view(U64)
-            U = U64
             blk_mask = np.where(thr >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
                                 (U64(1) << np.minimum(thr, 63).astype(U64))
                                 - U64(1))
-        elem_mask = blk_mask[pseg_local]
+        elem_mask = blk_mask[seg_of]
         pidx = np.nonzero(brl_u > elem_mask)[0]
-        pb_ = pseg_local[pidx]
-        rel = pidx - pstart[pb_]
+        pb_ = seg_of[pidx]
+        rel = pidx - bnd[pb_]
         gap = rel.copy()
         same = np.zeros(len(pidx), dtype=bool)
         same[1:] = pb_[1:] == pb_[:-1]
@@ -503,8 +495,8 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         pval = brl_u[vp].astype(U64) >> thr.astype(U64)[vpb]
         brl_u[vp] &= elem_mask[vp]  # strip high bits in place (vec blocks)
         vgap = gap[vec_el]
-        words = pval | (vgap.astype(U64) << pbw_arr.astype(U64)[vpb])
-        # per-block slices over the (sorted) vpb
+        words = pval | (vgap.astype(U64) << pbw_k.astype(U64)[vpb])
+        # per-block slices over the (sorted) vpb — K-domain block ids
         vb_ids = np.unique(vpb)
         b0 = np.searchsorted(vpb, vb_ids)
         b1 = np.append(b0[1:], len(vpb))
@@ -518,21 +510,20 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         # 5-bit pl field and silently corrupting the gap-width bits
         assert int(plens_vec.max(initial=0)) <= 31, \
             "patched-base patch count overflows 5-bit field"
-        kk_vec = psel[vb_ids]
+        kk_vec = vb_ids
         pb_pgw[kk_vec] = pgw_vec
         pb_nplen[kk_vec] = plens_vec
-        pb_pbw[kk_vec] = pbw_arr[vb_ids]
-        pb_t95[kk_vec] = t95[vb_ids]
+        pb_pbw[kk_vec] = pbw_k[kk_vec]
+        pb_t95[kk_vec] = t95_k[kk_vec]
 
         # blocks not covered by the vectorized pass: 255-gap jump blocks
         # (scalar reference walk, rare)
-        for j in np.setdiff1d(jj, vb_ids):
-            j = int(j)
-            k = int(psel[j])
+        for k in np.setdiff1d(jj, vb_ids):
+            k = int(k)
             ln = int(ll[k])
-            patch_bits_width = int(pbw_arr[j])
-            brl_95p = int(t95[j])
-            brl = brl_vals[pstart[j]: pstart[j] + ln]
+            patch_bits_width = int(pbw_k[k])
+            brl_95p = int(t95_k[k])
+            brl = brl_vals[bnd[k]: bnd[k] + ln]
             plist, patch_gap_width = _derive_patches(
                 brl, patch_bits_width, brl_95p)
             patches = np.array(plist, dtype=U64)
@@ -710,9 +701,8 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         # stripped-brl packs grouped by width: ONE gather into
         # width-sorted element order, then contiguous per-group slices —
         # the per-width mask rebuilds each scanned the full element set
-        psel_patched = remap[pk]
         order = np.argsort(brl_w, kind="stable")
-        estart = pstart[psel_patched[order]]
+        estart = bnd[pk[order]]
         e_ll = ll[pk[order]]
         tote = int(e_ll.sum())
         pst = np.zeros(len(order), dtype=np.int32)
@@ -742,9 +732,9 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         posk = np.zeros(K, dtype=np.int64)
         posk[pk] = np.arange(len(pk), dtype=np.int64)
         if len(vb_ids):
-            kk = psel[vb_ids]
+            kk = vb_ids
             live = cat[kk] == _CAT_PATCHED  # interop reroutes drop out
-            pw_vec = _FIXED_BITS_LUT[pgw_vec + pbw_arr[vb_ids]]
+            pw_vec = _FIXED_BITS_LUT[pgw_vec + pbw_k[vb_ids]]
             for w in np.unique(pw_vec[live]):
                 w = int(w)
                 sel = live & (pw_vec == w)
