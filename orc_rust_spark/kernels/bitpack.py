@@ -219,6 +219,9 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
         return out.reshape(-1).view(">u8").astype(U64)
     K = len(lens)
     byte_lens = (lens * width + 7) // 8
+    if width <= 16:
+        return _unpack_groups8(np.asarray(raw, dtype=np.uint8), lens,
+                               byte_lens, width, n)
     offs = np.zeros(K, dtype=np.int64)
     np.cumsum(byte_lens[:-1], out=offs[1:])
     starts = np.zeros(K, dtype=np.int64)
@@ -234,6 +237,71 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
     for k in range(width):
         vals |= bits[val_bit + k].astype(acc_t) << acc_t(width - 1 - k)
     return vals.astype(U64)
+
+
+def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
+                    byte_lens: np.ndarray, width: int, n: int) -> np.ndarray:
+    """Inverse of `_pack_groups8` for width <= 16: each 8-value group is
+    exactly `width` bytes — fold them into one u64 (two for w > 8) and
+    extract the 8 values with shifts, instead of the per-bit loop's
+    `width` scatter passes + 8x unpackbits expansion."""
+    K = len(lens)
+    groups = (lens + 7) // 8
+    n_pad_bytes = int(groups.sum()) * width
+    aligned = bool((lens % 8 == 0).all())
+    if aligned:
+        pbytes = raw[:n_pad_bytes]
+    else:
+        # re-space each segment's bytes to its ceil(len/8)*w padded slot
+        it = np.int32 if n_pad_bytes < 2**31 else np.int64
+        boffs = np.zeros(K, dtype=it)
+        np.cumsum(byte_lens[:-1].astype(it), out=boffs[1:])
+        pstart = np.zeros(K, dtype=it)
+        np.cumsum((groups[:-1] * width).astype(it), out=pstart[1:])
+        nb = int(byte_lens.sum())
+        tgt = (np.repeat(pstart, byte_lens)
+               + (np.arange(nb, dtype=it) - np.repeat(boffs, byte_lens)))
+        pbytes = np.zeros(n_pad_bytes, dtype=np.uint8)
+        pbytes[tgt] = raw[:nb]
+    gm = np.zeros((n_pad_bytes // width, 8), dtype=np.uint8)
+    gb = pbytes.reshape(-1, width)
+    m = gm.shape[0]
+    mask = U64((1 << width) - 1)
+    if width <= 8:
+        gm[:, :width] = gb
+        word = gm.reshape(-1).view(">u8").astype(U64)
+        vals8 = np.empty((m, 8), dtype=U64)
+        for i in range(8):
+            vals8[:, i] = (word >> U64(64 - (i + 1) * width)) & mask
+    else:
+        gm[:, :] = gb[:, :8]
+        A = gm.reshape(-1).view(">u8").astype(U64)
+        gm2 = np.zeros((m, 8), dtype=np.uint8)
+        gm2[:, : width - 8] = gb[:, 8:]
+        B = gm2.reshape(-1).view(">u8").astype(U64)
+        vals8 = np.empty((m, 8), dtype=U64)
+        for i in range(8):
+            lo, hi = i * width, (i + 1) * width
+            if hi <= 64:
+                vals8[:, i] = (A >> U64(64 - hi)) & mask
+            elif lo >= 64:
+                vals8[:, i] = (B >> U64(128 - hi)) & mask
+            else:
+                vals8[:, i] = ((A << U64(hi - 64))
+                               | (B >> U64(128 - hi))) & mask
+    flat = vals8.reshape(-1)
+    if aligned:
+        return flat[:n]
+    # drop the per-segment zero-padded tail values
+    pad_vals = groups * 8
+    total_pad = int(pad_vals.sum())
+    vt = np.int32 if total_pad < 2**31 else np.int64
+    vstarts = np.zeros(K, dtype=vt)
+    np.cumsum(pad_vals[:-1].astype(vt), out=vstarts[1:])
+    within = (np.arange(total_pad, dtype=vt)
+              - np.repeat(vstarts, pad_vals))
+    keep = within < np.repeat(lens.astype(vt), pad_vals)
+    return flat[keep]
 
 
 def packed_byte_len(n: int, width: int) -> int:

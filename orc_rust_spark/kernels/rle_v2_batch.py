@@ -813,25 +813,68 @@ def _scatter(out: np.ndarray, offsets: list[int], lens: list[int],
     out[idx] = vals
 
 
+def _window_u64(pad: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Big-endian u64 of the 8 bytes at each position (pad is the
+    zero-extended buffer)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(pad, 8)[pos]
+    return np.ascontiguousarray(win).view(">u8").ravel().astype(U64,
+                                                               copy=False)
+
+
+def _varint_values(pad: np.ndarray, q: np.ndarray,
+                   nbytes: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 reads: varint k starts at q[k] and spans
+    nbytes[k] bytes.  Returns uint64 values."""
+    k = len(q)
+    out = np.zeros(k, dtype=U64)
+    if not k:
+        return out
+    M = int(nbytes.max())
+    for i in range(M):
+        live = nbytes > i
+        b = pad[q + i]
+        out |= ((b & np.uint8(0x7F)).astype(U64)
+                << U64(7 * i)) * live.astype(U64)
+    return out
+
+
 def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
+    """Sequential header scan (cheap per block: only sizes advance it —
+    all per-block VALUE parsing is deferred to vectorized post-passes
+    over the recorded positions; a fully speculative vectorized scan
+    was tried and lost, see git history)."""
     if n == 0:
         return np.empty(0, dtype=I64)
     buf = memoryview(buf)
     raw = np.frombuffer(buf, dtype=np.uint8)
     out = np.empty(n, dtype=I64)
 
-    # per-kind accumulators
+    # per-kind accumulators (positions only; values extracted later)
     sr_off: list[int] = []
     sr_len: list[int] = []
-    sr_val: list[int] = []
-    fd_off: list[int] = []
-    fd_len: list[int] = []
-    fd_base: list[int] = []
-    fd_step: list[int] = []
-    # grouped by width: direct data, varying-delta deltas, patched data
+    sr_pos: list[int] = []
+    sr_bw: list[int] = []
+    dl_off: list[int] = []   # all delta blocks, in scan order
+    dl_len: list[int] = []
+    dl_w: list[int] = []     # 0 = fixed delta
+    dl_q1: list[int] = []    # base-varint start
+    dl_b1: list[int] = []    # base-varint byte count
+    dl_b2: list[int] = []    # delta-varint byte count
+    dl_dp: list[int] = []    # packed-deltas position (VD only; else 0)
     dir_g: dict[int, tuple[list[int], list[int], list[tuple[int, int]]]] = {}
-    vd_g: dict[int, list[tuple[int, int, int, int, int, int, int]]] = {}
-    pb_g: dict[int, list[tuple[int, int, int, int, list[int], int]]] = {}
+    pb_off: list[int] = []
+    pb_len: list[int] = []
+    pb_w: list[int] = []
+    pb_bpos: list[int] = []  # base MSB-int position
+    pb_bbw: list[int] = []
+    pb_dpos: list[int] = []  # packed data position
+    pb_dnb: list[int] = []
+    pb_ppos: list[int] = []  # packed patch-words position
+    pb_pnb: list[int] = []
+    pb_pl: list[int] = []    # patch list length
+    pb_pw: list[int] = []    # patch word width
+    pb_paw: list[int] = []   # patch value width
 
     got = 0
     pos = 0
@@ -842,15 +885,11 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
         if kind == _HDR_SHORT_REPEAT:
             byte_width = ((header >> 3) & 0x07) + 1
             run_length = (header & 0x07) + 3
-            val = int.from_bytes(buf[pos: pos + byte_width], "big")
-            pos += byte_width
-            if signed:
-                val = (val >> 1) ^ -(val & 1)
-            elif val >= 1 << 63:
-                val -= 1 << 64
             sr_off.append(got)
             sr_len.append(run_length)
-            sr_val.append(val)
+            sr_pos.append(pos)
+            sr_bw.append(byte_width)
+            pos += byte_width
             got += run_length
         elif kind == _HDR_DIRECT:
             w = rle_v2_decode_bit_width((header >> 1) & 0x1F)
@@ -868,19 +907,27 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
             w = 0 if ew == 0 else rle_v2_decode_bit_width(ew)
             length = (((header & 0x01) << 8) | buf[pos]) + 1
             pos += 1
-            base, pos = read_varint_zigzagged(buf, pos, signed)
-            delta, pos = read_varint_zigzagged(buf, pos, True)
+            q1 = pos
+            while buf[pos] & 0x80:
+                pos += 1
+            pos += 1
+            b1 = pos - q1
+            q2 = pos
+            while buf[pos] & 0x80:
+                pos += 1
+            pos += 1
+            b2 = pos - q2
+            dl_off.append(got)
+            dl_len.append(length)
+            dl_w.append(w)
+            dl_q1.append(q1)
+            dl_b1.append(b1)
+            dl_b2.append(b2)
             if w == 0:
-                fd_off.append(got)
-                fd_len.append(length)
-                fd_base.append(base)
-                fd_step.append(delta)
+                dl_dp.append(0)
             else:
-                nb = packed_byte_len(length - 2, w)
-                sign = 1 if delta > 0 else -1
-                vd_g.setdefault(w, []).append(
-                    (got, length, base, delta, sign, pos, nb))
-                pos += nb
+                dl_dp.append(pos)
+                pos += packed_byte_len(length - 2, w)
             got += length
         else:  # patched base
             value_w = rle_v2_decode_bit_width((header >> 1) & 0x1F)
@@ -893,108 +940,171 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
             patch_w = rle_v2_decode_bit_width(third & 0x1F)
             gap_w = ((fourth >> 5) & 0x07) + 1
             plist_len = fourth & 0x1F
-            base_raw = int.from_bytes(buf[pos: pos + base_bw], "big")
-            pos += base_bw
-            msb_mask = 1 << (base_bw * 8 - 1)
-            base = -(base_raw & ~msb_mask) if base_raw & msb_mask \
-                else base_raw & ~msb_mask
-            data_nb = packed_byte_len(length, value_w)
-            data_pos = pos
-            pos += data_nb
             pw = get_closest_fixed_bits(patch_w + gap_w)
+            data_nb = packed_byte_len(length, value_w)
             patch_nb = packed_byte_len(plist_len, pw)
-            # patch lists are <=31 entries: scalar big-int bit extraction
-            # beats a numpy unpack call by ~10x at this size
-            big = int.from_bytes(buf[pos: pos + patch_nb], "big")
-            tot = patch_nb * 8
-            pmask_ = (1 << pw) - 1
-            patches = [(big >> (tot - (i + 1) * pw)) & pmask_
-                       for i in range(plist_len)]
-            pos += patch_nb
-            # resolve jump patches to absolute (position, high-bits) pairs
-            mask = (1 << patch_w) - 1
-            plist: list[int] = []  # interleaved pos, val
-            pi = 0
-            prev = 0
-            first = True
-            while pi < len(patches):
-                gap = patches[pi] >> patch_w
-                pv = patches[pi] & mask
-                actual = 0
-                while gap == 255 and pv == 0:
-                    actual += 255
-                    pi += 1
-                    gap = patches[pi] >> patch_w
-                    pv = patches[pi] & mask
-                actual += gap
-                if not first:
-                    actual += prev
-                plist.append(actual)
-                plist.append(pv)
-                prev = actual
-                first = False
-                pi += 1
-            pb_g.setdefault(value_w, []).append(
-                (got, length, base, data_pos, plist, data_nb))
+            pb_off.append(got)
+            pb_len.append(length)
+            pb_w.append(value_w)
+            pb_bpos.append(pos)
+            pb_bbw.append(base_bw)
+            pb_dpos.append(pos + base_bw)
+            pb_dnb.append(data_nb)
+            pb_ppos.append(pos + base_bw + data_nb)
+            pb_pnb.append(patch_nb)
+            pb_pl.append(plist_len)
+            pb_pw.append(pw)
+            pb_paw.append(patch_w)
+            pos += base_bw + data_nb + patch_nb
             got += length
     if got != n:
         raise ValueError(f"decoded {got} values, expected {n}")
 
+    pad = None
+    if sr_off or dl_off or pb_off:
+        pad = np.zeros(len(raw) + 16, dtype=np.uint8)
+        pad[:len(raw)] = raw
+
     # --- materialize groups ---
     if sr_off:
-        vals = np.repeat(np.array(sr_val, dtype=I64),
-                         np.array(sr_len, dtype=np.int64))
-        _scatter(out, sr_off, sr_len, vals)
-    if fd_off:
-        ln = np.array(fd_len, dtype=np.int64)
-        starts = np.zeros(len(ln), dtype=np.int64)
-        np.cumsum(ln[:-1], out=starts[1:])
-        total = int(ln.sum())
-        pos_in = np.arange(total, dtype=np.int64) - np.repeat(starts, ln)
-        vals = (np.repeat(np.array(fd_base, dtype=I64), ln)
-                + pos_in * np.repeat(np.array(fd_step, dtype=I64), ln))
-        _scatter(out, fd_off, fd_len, vals)
+        bwv = np.array(sr_bw, dtype=np.int64)
+        vals_u = _window_u64(pad, np.array(sr_pos, dtype=np.int64)) \
+            >> ((8 - bwv) * 8).astype(U64)
+        vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
+        ln = np.array(sr_len, dtype=np.int64)
+        _scatter(out, sr_off, sr_len, np.repeat(vals, ln))
     for w, (offs, lens_, spans) in dir_g.items():
         lens_a = np.array(lens_, dtype=np.int64)
         vals_u = unpack_ints_segmented(_concat_spans(raw, spans), lens_a, w)
         vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
         _scatter(out, offs, lens_, vals)
-    for w, blocks in vd_g.items():
-        dlens = np.array([b[1] - 2 for b in blocks], dtype=np.int64)
-        deltas = unpack_ints_segmented(
-            _concat_spans(raw, [(b[5], b[6]) for b in blocks]),
-            dlens, w).view(I64)
-        signs = np.repeat(np.array([b[4] for b in blocks], dtype=I64), dlens)
-        sd = deltas * signs
-        # segmented cumsum
-        c = np.cumsum(sd)
-        starts = np.zeros(len(dlens), dtype=np.int64)
-        np.cumsum(dlens[:-1], out=starts[1:])
-        base_corr = np.where(starts > 0, c[starts - 1], 0)
-        second = np.array([b[2] + b[4] * abs(b[3]) for b in blocks], dtype=I64)
-        vals_tail = np.repeat(second - base_corr, dlens) + c
-        offs_tail = [b[0] + 2 for b in blocks]
-        _scatter(out, offs_tail, [int(x) for x in dlens], vals_tail)
-        head_idx = np.array([b[0] for b in blocks], dtype=np.int64)
-        out[head_idx] = np.array([b[2] for b in blocks], dtype=I64)
-        out[head_idx + 1] = second
-    for w, blocks in pb_g.items():
-        lens_a = np.array([b[1] for b in blocks], dtype=np.int64)
-        data_u = unpack_ints_segmented(
-            _concat_spans(raw, [(b[3], b[5]) for b in blocks]), lens_a, w)
-        starts = np.zeros(len(lens_a), dtype=np.int64)
-        np.cumsum(lens_a[:-1], out=starts[1:])
-        ppos: list[int] = []
-        pval: list[int] = []
-        for i, (_, _, _, _, plist, _) in enumerate(blocks):
-            s = int(starts[i])
-            for j in range(0, len(plist), 2):
-                ppos.append(s + plist[j])
-                pval.append((plist[j + 1] << w) & 0xFFFFFFFFFFFFFFFF)
-        if ppos:
-            data_u[np.array(ppos, dtype=np.int64)] |= np.array(pval, dtype=U64)
-        bases = np.repeat(
-            np.array([b[2] for b in blocks], dtype=I64).astype(U64), lens_a)
-        vals = (data_u + bases).view(I64)
-        _scatter(out, [b[0] for b in blocks], [int(x) for x in lens_a], vals)
+    if dl_off:
+        q1 = np.array(dl_q1, dtype=np.int64)
+        b1 = np.array(dl_b1, dtype=np.int64)
+        b2 = np.array(dl_b2, dtype=np.int64)
+        base_u = _varint_values(pad, q1, b1)
+        delta_u = _varint_values(pad, q1 + b1, b2)
+        base = zigzag_decode(base_u) if signed else base_u.view(I64)
+        delta = zigzag_decode(delta_u)
+        wl = np.array(dl_w, dtype=np.int64)
+        ln_l = np.array(dl_len, dtype=np.int64)
+        off_l = np.array(dl_off, dtype=np.int64)
+        fdm = wl == 0
+        if fdm.any():
+            ln = ln_l[fdm]
+            starts = np.zeros(len(ln), dtype=np.int64)
+            np.cumsum(ln[:-1], out=starts[1:])
+            total = int(ln.sum())
+            pos_in = np.arange(total, dtype=np.int64) - np.repeat(starts, ln)
+            vals = np.repeat(base[fdm], ln) + pos_in * np.repeat(delta[fdm], ln)
+            _scatter(out, off_l[fdm].tolist(), ln.tolist(), vals)
+        vdm = ~fdm
+        if vdm.any():
+            wv = wl[vdm]
+            lnv = ln_l[vdm]
+            offv = off_l[vdm]
+            basev = base[vdm]
+            deltav = delta[vdm]
+            signv = np.where(deltav > 0, np.int64(1), np.int64(-1))
+            dpos = np.array(dl_dp, dtype=np.int64)[vdm]
+            order = np.argsort(wv, kind="stable")
+            wv, lnv, offv = wv[order], lnv[order], offv[order]
+            basev, deltav, signv, dpos = (basev[order], deltav[order],
+                                          signv[order], dpos[order])
+            g0 = 0
+            while g0 < len(wv):
+                w = int(wv[g0])
+                g1 = int(np.searchsorted(wv, w, side="right"))
+                dlens = lnv[g0:g1] - 2
+                spans = [(int(p), packed_byte_len(int(x), w)) for p, x in
+                         zip(dpos[g0:g1], dlens)]
+                deltas = unpack_ints_segmented(_concat_spans(raw, spans),
+                                               dlens, w).view(I64)
+                signs = np.repeat(signv[g0:g1], dlens)
+                sd = deltas * signs
+                c = np.cumsum(sd)
+                starts = np.zeros(len(dlens), dtype=np.int64)
+                np.cumsum(dlens[:-1], out=starts[1:])
+                base_corr = np.where(starts > 0, c[starts - 1], 0)
+                second = basev[g0:g1] + signv[g0:g1] * np.abs(deltav[g0:g1])
+                vals_tail = np.repeat(second - base_corr, dlens) + c
+                _scatter(out, (offv[g0:g1] + 2).tolist(), dlens.tolist(),
+                         vals_tail)
+                out[offv[g0:g1]] = basev[g0:g1]
+                out[offv[g0:g1] + 1] = second
+                g0 = g1
+    if pb_off:
+        wp = np.array(pb_w, dtype=np.int64)
+        ln_p = np.array(pb_len, dtype=np.int64)
+        off_p = np.array(pb_off, dtype=np.int64)
+        bwp = np.array(pb_bbw, dtype=np.int64)
+        bpos = np.array(pb_bpos, dtype=np.int64)
+        dpos = np.array(pb_dpos, dtype=np.int64)
+        dnb = np.array(pb_dnb, dtype=np.int64)
+        ppos = np.array(pb_ppos, dtype=np.int64)
+        pnb = np.array(pb_pnb, dtype=np.int64)
+        plp = np.array(pb_pl, dtype=np.int64)
+        pww = np.array(pb_pw, dtype=np.int64)
+        paw = np.array(pb_paw, dtype=np.int64)
+        # sign-MSB bases, vectorized
+        braw = _window_u64(pad, bpos) >> ((8 - bwp) * 8).astype(U64)
+        msb = U64(1) << (bwp * 8 - 1).astype(U64)
+        mag = (braw & ~msb).view(I64)
+        basep = np.where((braw & msb) != 0, -mag, mag)
+
+        order = np.argsort(wp, kind="stable")
+        g0 = 0
+        while g0 < len(order):
+            w = int(wp[order[g0]])
+            g1 = g0
+            while g1 < len(order) and int(wp[order[g1]]) == w:
+                g1 += 1
+            sel = order[g0:g1]
+            lens_a = ln_p[sel]
+            spans = [(int(p), int(x)) for p, x in zip(dpos[sel], dnb[sel])]
+            data_u = unpack_ints_segmented(_concat_spans(raw, spans),
+                                           lens_a, w)
+            starts = np.zeros(len(lens_a), dtype=np.int64)
+            np.cumsum(lens_a[:-1], out=starts[1:])
+            # patch words, unpacked grouped by word width, jump-resolved
+            # with an inclusive segmented cumsum (jump markers emit no
+            # patch but contribute their 255 gap)
+            sub = np.argsort(pww[sel], kind="stable")
+            pww_s = pww[sel][sub]
+            s0 = 0
+            app = []
+            apv = []
+            while s0 < len(sub):
+                pw2 = int(pww_s[s0])
+                s1 = int(np.searchsorted(pww_s, pw2, side="right"))
+                loc = sub[s0:s1]          # indices into sel
+                ss = sel[loc]
+                cnts = plp[ss]
+                spans2 = [(int(p), int(x)) for p, x in
+                          zip(ppos[ss], pnb[ss])]
+                words = unpack_ints_segmented(_concat_spans(raw, spans2),
+                                              cnts, pw2)
+                paw_e = np.repeat(paw[ss].astype(U64), cnts)
+                gaps = (words >> paw_e).astype(np.int64)
+                pvals = words & ((U64(1) << paw_e) - U64(1))
+                jump = (gaps == 255) & (pvals == U64(0))
+                c = np.concatenate((np.zeros(1, dtype=np.int64),
+                                    np.cumsum(gaps)))
+                w0 = np.zeros(len(cnts), dtype=np.int64)
+                np.cumsum(cnts[:-1], out=w0[1:])
+                rel = c[1:] - np.repeat(c[w0], cnts)
+                emit = ~jump
+                blk_start = starts[loc]   # data offsets within this group
+                abs_pos = (np.repeat(blk_start, cnts) + rel)[emit]
+                app.append(abs_pos)
+                apv.append(pvals[emit] << U64(w))
+                s0 = s1
+            if app:
+                app_a = np.concatenate(app)
+                if len(app_a):
+                    data_u[app_a] |= np.concatenate(apv)
+            bases_e = np.repeat(basep[sel].astype(U64), lens_a)
+            vals = (data_u + bases_e).view(I64)
+            _scatter(out, off_p[sel].tolist(), lens_a.tolist(), vals)
+            g0 = g1
     return out
