@@ -823,7 +823,8 @@ def q_rle_v1_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden `expected_file_output` strategy (`tests/basic/main.rs:618+`).
     """
     from .sources.orc_spark import read_orc_spark
-    df = read_orc_spark(spark, _RLEV1_FIXTURE)
+    # ~45 KB x 385 stripes: split small so the 1.92M-row decode fans out
+    df = read_orc_spark(spark, _RLEV1_FIXTURE, split_bytes=64 << 10)
     return (df.groupBy(F.col("_col1").alias("sex"),
                        F.col("_col2").alias("marital"),
                        F.col("_col5").alias("health"))

@@ -466,31 +466,37 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         return pa.array(v, pa.float32() if kind == TK_FLOAT else pa.float64(),
                         mask=m)
     if kind in (TK_STRING, TK_VARCHAR, TK_CHAR, TK_BINARY):
+        # zero-copy assembly: (lengths -> offsets, blob) become the Arrow
+        # variable-width buffers directly — the per-value Python list
+        # build cost more than the stream decode on wide string files
         at = pa.binary() if kind == TK_BINARY else pa.string()
+
+        def _var_array(lengths: np.ndarray, blob) -> pa.Array:
+            m = len(lengths)
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            if offs[-1] < 2**31:
+                return pa.Array.from_buffers(
+                    at, m, [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                            pa.py_buffer(blob)])
+            big = pa.Array.from_buffers(
+                pa.large_binary() if kind == TK_BINARY else pa.large_string(),
+                m, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+            return big.cast(at)
+
         if enc in (ENC_DICT, ENC_DICT_V2):
             dict_lengths = _ints(data(K_LENGTH), dict_size, enc, signed=False)
-            doffs = np.zeros(dict_size + 1, dtype=np.int64)
-            np.cumsum(dict_lengths, out=doffs[1:])
-            dict_blob = data(K_DICT_DATA)
+            dict_arr = _var_array(dict_lengths, data(K_DICT_DATA))
             idx = _ints(data(), n_valid, enc, signed=False)
-            uniq = [bytes(dict_blob[doffs[i]: doffs[i + 1]])
-                    for i in range(dict_size)]
-            vals = [uniq[i] for i in idx]
+            vals_arr = dict_arr.take(pa.array(idx, pa.int64()))
         else:
             lengths = _ints(data(K_LENGTH), n_valid, enc, signed=False)
-            offs = np.zeros(n_valid + 1, dtype=np.int64)
-            np.cumsum(lengths, out=offs[1:])
-            blob = data()
-            vals = [bytes(blob[offs[i]: offs[i + 1]]) for i in range(n_valid)]
+            vals_arr = _var_array(lengths, data())
         if validity is None:
-            out = vals
-        else:
-            out = []
-            it = iter(vals)
-            for ok in validity:
-                out.append(next(it) if ok else None)
-        return pa.array([v.decode() if isinstance(v, bytes) and kind != TK_BINARY
-                         else v for v in out], at)
+            return vals_arr
+        take_idx = np.full(n, -1, dtype=np.int64)
+        take_idx[validity] = np.arange(n_valid, dtype=np.int64)
+        return vals_arr.take(pa.array(take_idx, pa.int64(), mask=~validity))
     if kind == TK_DECIMAL:
         mant = decimal_decode(data(), data(K_SECONDARY), n_valid, t["scale"])
         at = pa.decimal128(t["precision"] or 38, t["scale"])
