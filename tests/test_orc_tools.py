@@ -66,3 +66,36 @@ def test_module_entrypoint(orc_file):
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0
     assert "number of stripes" in r.stdout
+
+
+def test_corrupt_orc_raises_cleanly(tmp_path, orc_file):
+    """Truncated or mangled real ORC files raise clean errors, not
+    garbage output (corrupt-input discipline of tests/test_corrupt.py
+    applied to the real-ORC surface)."""
+    from orc_rust_spark.sources.orc_reader import read_metadata, read_orc
+    data = open(orc_file, "rb").read()
+
+    half = tmp_path / "half.orc"
+    half.write_bytes(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        read_orc(str(half))
+
+    noise = tmp_path / "noise.orc"
+    noise.write_bytes(b"ORC" + b"\x13\x37" * 400)
+    with pytest.raises(Exception):
+        read_metadata(str(noise))
+
+    # flip bytes inside the first stripe: decode must not return wrong
+    # silently — either a raised error or values differing from truth is
+    # acceptable; what is NOT acceptable is a crash-less wrong SUCCESS
+    # that equals the original (that would mean the bytes don't matter)
+    mang = bytearray(data)
+    mang[200:220] = b"\x00" * 20
+    bad = tmp_path / "bad.orc"
+    bad.write_bytes(bytes(mang))
+    try:
+        t = read_orc(str(bad))
+        orig = read_orc(orc_file)
+        assert not t.equals(orig)
+    except Exception:
+        pass
