@@ -26,12 +26,21 @@ class BitSpan:
     positions describe it: `buf` starts at a byte-RLE RUN boundary,
     `skip_bytes` decoded bytes are consumed within it, then `skip_bits`
     bits — the (byte offset, values-into-run, bit offset) triple of the
-    public spec's row index."""
+    public spec's row index.
 
-    def __init__(self, buf, skip_bytes: int = 0, skip_bits: int = 0):
+    When `compression` is set, `buf` holds the RAW (compressed) slice
+    and decompression happens lazily in `boolean_decode`, bounded to
+    the bytes the requested bit count actually needs — eagerly
+    decompressing to stream end cost O(groups x stream) on compressed
+    row-group reads."""
+
+    def __init__(self, buf, skip_bytes: int = 0, skip_bits: int = 0,
+                 compression: int = 0, block_size: int = 256 * 1024):
         self.buf = buf
         self.skip_bytes = skip_bytes
         self.skip_bits = skip_bits
+        self.compression = compression
+        self.block_size = block_size
 
 
 def boolean_encode_with_marks(values: np.ndarray, mark_bits) -> tuple[bytes, list]:
@@ -66,7 +75,15 @@ def boolean_decode(buf, n: int) -> np.ndarray:
     mid-stream `BitSpan`)."""
     if isinstance(buf, BitSpan):
         nbytes = buf.skip_bytes + (buf.skip_bits + n + 7) // 8
-        packed = byte_rle_decode(buf.buf, nbytes, exact=False)
+        raw = buf.buf
+        if buf.compression:
+            from .compression import decompress_stream
+            # headroom: byte-RLE literal runs spend 1 header byte per
+            # 128 payload bytes, so nbytes decoded values need at most
+            # nbytes + ceil(nbytes/128) + 2 STREAM bytes
+            raw = decompress_stream(raw, buf.compression, buf.block_size,
+                                    max_bytes=nbytes + nbytes // 128 + 4)
+        packed = byte_rle_decode(raw, nbytes, exact=False)
         return np.unpackbits(packed[buf.skip_bytes:])[
             buf.skip_bits: buf.skip_bits + n].astype(bool)
     nbytes = (n + 7) // 8

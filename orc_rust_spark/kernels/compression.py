@@ -86,10 +86,13 @@ def compress_stream(blob: bytes, kind: int,
 
 
 def decompress_stream(buf, kind: int,
-                      block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
+                      block_size: int = DEFAULT_BLOCK_SIZE,
+                      max_bytes: int | None = None) -> bytes:
     """`block_size` is the writer's compressionBlockSize (PostScript
     field 3) — the upper bound each chunk decompresses to, needed by
-    codecs whose raw blocks don't carry their size (lz4)."""
+    codecs whose raw blocks don't carry their size (lz4).  `max_bytes`
+    stops after the chunk that reaches that many output bytes — readers
+    slicing a row group out of a long stream need only its prefix."""
     if kind == K_NONE:
         return bytes(buf)
     buf = memoryview(buf)
@@ -102,4 +105,6 @@ def decompress_stream(buf, kind: int,
         body = bytes(buf[pos: pos + length])
         pos += length
         out += body if header & 1 else _decompress_one(kind, body, block_size)
+        if max_bytes is not None and len(out) >= max_bytes:
+            break
     return bytes(out)

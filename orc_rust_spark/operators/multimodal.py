@@ -100,6 +100,46 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def _frames_of(payload: pa.Array, doc_ids, frame_bytes: int,
+               every_k: int) -> pa.RecordBatch:
+    """Vectorized frame slicing of one (< 2 GiB output) payload chunk."""
+    n = len(payload)
+    offs = np.frombuffer(payload.buffers()[1], dtype=np.int64)
+    offs = offs[payload.offset: payload.offset + n + 1]
+    data_buf = payload.buffers()[2]
+    buf_np = np.frombuffer(data_buf, dtype=np.uint8) if data_buf \
+        else np.empty(0, dtype=np.uint8)
+    lens = np.diff(offs)
+    n_frames = np.maximum(lens // frame_bytes, 1)
+    k_per = (n_frames + every_k - 1) // every_k
+    total = int(k_per.sum())
+    row = np.repeat(np.arange(n, dtype=np.int64), k_per)
+    kstart = np.zeros(n, dtype=np.int64)
+    np.cumsum(k_per[:-1], out=kstart[1:])
+    fi = (np.arange(total, dtype=np.int64)
+          - np.repeat(kstart, k_per)) * every_k
+    starts = offs[:-1][row] + fi * frame_bytes
+    ends = np.minimum(starts + frame_bytes, offs[1:][row])
+    flens = ends - starts
+    out_offs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(flens, out=out_offs[1:])
+    assert out_offs[-1] < 2**31, "caller must bound chunk output bytes"
+    out_offs32 = out_offs.astype(np.int32)
+    fstart = np.zeros(total, dtype=np.int64)
+    np.cumsum(flens[:-1], out=fstart[1:])
+    nbytes = int(flens.sum())
+    idx = np.repeat(starts, flens) + (np.arange(nbytes, dtype=np.int64)
+                                      - np.repeat(fstart, flens))
+    frames = pa.Array.from_buffers(
+        pa.binary(), total,
+        [None, pa.py_buffer(out_offs32.tobytes()),
+         pa.py_buffer(buf_np[idx].tobytes())])
+    ids = doc_ids.cast(pa.int64()).take(pa.array(row))
+    return pa.record_batch(
+        [ids, pa.array(fi.astype(np.int32), pa.int32()), frames],
+        names=["doc_id", "frame_idx", "frame"])
+
+
 def sample_frames(payloads: DataFrame, frame_bytes: int = 64,
                   every_k: int = 4) -> DataFrame:
     """Treat the payload as a fake video: fixed-size frames, keep every
@@ -108,7 +148,9 @@ def sample_frames(payloads: DataFrame, frame_bytes: int = 64,
         # fully vectorized (VERDICT r2: the per-row Python loop is the
         # bottleneck at video scale): frame positions from numpy
         # arithmetic over the value-offsets buffer, frame bytes gathered
-        # in one fancy-index, result assembled via Array.from_buffers
+        # in one fancy-index, result assembled via Array.from_buffers.
+        # Output chunks are bounded to < 2 GiB so the int32 offsets of
+        # pa.binary() can never wrap (video-scale batches overflow).
         for b in batches:
             payload = b.column("payload")
             if isinstance(payload, pa.ChunkedArray):
@@ -117,38 +159,23 @@ def sample_frames(payloads: DataFrame, frame_bytes: int = 64,
             n = len(payload)
             if n == 0:
                 continue
-            offs = np.frombuffer(payload.buffers()[1], dtype=np.int64)
-            offs = offs[payload.offset: payload.offset + n + 1]
-            data_buf = payload.buffers()[2]
-            buf_np = np.frombuffer(data_buf, dtype=np.uint8) if data_buf \
-                else np.empty(0, dtype=np.uint8)
-            lens = np.diff(offs)
-            n_frames = np.maximum(lens // frame_bytes, 1)
-            k_per = (n_frames + every_k - 1) // every_k
-            total = int(k_per.sum())
-            row = np.repeat(np.arange(n, dtype=np.int64), k_per)
-            kstart = np.zeros(n, dtype=np.int64)
-            np.cumsum(k_per[:-1], out=kstart[1:])
-            fi = (np.arange(total, dtype=np.int64)
-                  - np.repeat(kstart, k_per)) * every_k
-            starts = offs[:-1][row] + fi * frame_bytes
-            ends = np.minimum(starts + frame_bytes, offs[1:][row])
-            flens = ends - starts
-            out_offs = np.zeros(total + 1, dtype=np.int64)
-            np.cumsum(flens, out=out_offs[1:])
-            out_offs = out_offs.astype(np.int32)
-            fstart = np.zeros(total, dtype=np.int64)
-            np.cumsum(flens[:-1], out=fstart[1:])
-            nbytes = int(flens.sum())
-            idx = np.repeat(starts, flens) + (np.arange(nbytes, dtype=np.int64)
-                                              - np.repeat(fstart, flens))
-            frames = pa.Array.from_buffers(
-                pa.binary(), total,
-                [None, pa.py_buffer(out_offs.tobytes()),
-                 pa.py_buffer(buf_np[idx].tobytes())])
-            ids = b.column("doc_id").cast(pa.int64()).take(pa.array(row))
-            yield pa.record_batch(
-                [ids, pa.array(fi.astype(np.int32), pa.int32()), frames],
-                names=["doc_id", "frame_idx", "frame"])
+            offs_all = np.frombuffer(payload.buffers()[1], dtype=np.int64)
+            offs_all = offs_all[payload.offset: payload.offset + n + 1]
+            lens_all = np.diff(offs_all)
+            # greedy row ranges whose output bytes stay under 2 GiB
+            out_bound = np.minimum(lens_all, ((np.maximum(
+                lens_all // frame_bytes, 1) + every_k - 1) // every_k)
+                * frame_bytes)
+            cum = np.cumsum(out_bound)
+            lo = 0
+            budget = (1 << 31) - (1 << 20)
+            while lo < n:
+                base = cum[lo - 1] if lo else 0
+                hi = int(np.searchsorted(cum, base + budget))
+                hi = max(hi, lo + 1)
+                yield _frames_of(payload.slice(lo, hi - lo),
+                                 b.column("doc_id").slice(lo, hi - lo),
+                                 frame_bytes, every_k)
+                lo = hi
 
     return payloads.select("doc_id", "payload").mapInArrow(stage, FRAME_SCHEMA)

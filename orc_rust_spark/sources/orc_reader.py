@@ -286,10 +286,7 @@ def _stripe_layout(data, meta: OrcMeta, si: dict):
     return spans, encodings, writer_tz
 
 
-def _stripe_streams(data, meta: OrcMeta, si: dict):
-    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)},
-    writer_tz or None)"""
-    spans, encodings, writer_tz = _stripe_layout(data, meta, si)
+def _streams_from_spans(data, meta: OrcMeta, spans) -> dict:
     streams = {}
     for (col, kind), (off, ln) in spans.items():
         if kind in (K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY):
@@ -298,7 +295,14 @@ def _stripe_streams(data, meta: OrcMeta, si: dict):
                 raw = decompress_stream(raw, meta.compression,
                                         meta.block_size)
             streams[(col, kind)] = raw
-    return streams, encodings, writer_tz
+    return streams
+
+
+def _stripe_streams(data, meta: OrcMeta, si: dict):
+    """-> ({(column, kind): bytes}, {column: (enc_kind, dict_size)},
+    writer_tz or None)"""
+    spans, encodings, writer_tz = _stripe_layout(data, meta, si)
+    return _streams_from_spans(data, meta, spans), encodings, writer_tz
 
 
 def _parse_row_index(data, meta: OrcMeta, spans, cids):
@@ -476,13 +480,20 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
             offs = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(lengths, out=offs[1:])
             if offs[-1] < 2**31:
-                return pa.Array.from_buffers(
+                arr = pa.Array.from_buffers(
                     at, m, [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
                             pa.py_buffer(blob)])
-            big = pa.Array.from_buffers(
-                pa.large_binary() if kind == TK_BINARY else pa.large_string(),
-                m, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
-            return big.cast(at)
+            else:
+                arr = pa.Array.from_buffers(
+                    pa.large_binary() if kind == TK_BINARY
+                    else pa.large_string(),
+                    m, [None, pa.py_buffer(offs.tobytes()),
+                        pa.py_buffer(blob)]).cast(at)
+            if kind != TK_BINARY:
+                # from_buffers skips UTF-8 checks; a corrupt DATA stream
+                # must fail HERE, not miles downstream in compute/Spark
+                arr.validate(full=True)
+            return arr
 
         if enc in (ENC_DICT, ENC_DICT_V2):
             dict_lengths = _ints(data(K_LENGTH), dict_size, enc, signed=False)
@@ -648,6 +659,7 @@ def read_orc(path: str, columns: list[str] | None = None,
         # (group-aligned) positions, decode only the row groups whose
         # statistics may match (`src/row_group_filter.rs:51-118` +
         # positions seek of `src/row_index.rs`)
+        streams = None
         if pred is not None and meta.row_index_stride and \
                 n > meta.row_index_stride:
             spans, encodings, writer_tz = _stripe_layout(data, meta, si)
@@ -657,7 +669,9 @@ def read_orc(path: str, columns: list[str] | None = None,
             if got is not None:
                 batches.extend(got)
                 continue
-        streams, encodings, writer_tz = _stripe_streams(data, meta, si)
+            streams = _streams_from_spans(data, meta, spans)
+        if streams is None:
+            streams, encodings, writer_tz = _stripe_streams(data, meta, si)
         if _stats is not None:
             _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + n
         cols = [_decode_column(cid, meta, streams,
@@ -722,7 +736,10 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
         if lay is None:
             return None
         layouts[cid] = lay
-    ridx_all = _parse_row_index(data, meta, spans, set(layouts))
+    missing = set(layouts) - set(ridx)
+    ridx_all = dict(ridx)
+    if missing:
+        ridx_all.update(_parse_row_index(data, meta, spans, missing))
     if any(cid not in ridx_all or len(ridx_all[cid]) != n_groups
            for cid in layouts):
         return None
@@ -760,14 +777,13 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
                 if is_bit:
                     # the group's first bits may share a byte with the
                     # previous group: slice from the marked run start to
-                    # stream end and skip bit_off bits (decode stops
-                    # after the bytes it needs)
+                    # stream end and skip bit_off bits; decompression is
+                    # LAZY and bounded inside boolean_decode, so only the
+                    # chunks this group's bits need are inflated
                     raw = data[span[0] + start: span[0] + span[1]]
-                    if meta.compression:
-                        raw = decompress_stream(raw, meta.compression,
-                                                meta.block_size)
                     streams[(cid, kind)] = BitSpan(
-                        raw, 0, pos_g[i + lead + extra - 1])
+                        raw, 0, pos_g[i + lead + extra - 1],
+                        meta.compression, meta.block_size)
                 else:
                     end = pos_n[i] if pos_n is not None else span[1]
                     raw = data[span[0] + start: span[0] + end]

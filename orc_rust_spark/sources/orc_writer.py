@@ -243,8 +243,11 @@ def _encode_tree(arr: pa.Array, cid: int, types, out_streams, encodings,
         out_streams.append((cid, K_DATA, byte_rle_encode(tags)))
         for i, sub in enumerate(types[cid][1]):
             dense = comb.field(i).filter(pa.array(tags == i))
+            # children keep force_present: row-index mode needs stream
+            # sets identical across groups even when a child's nulls
+            # appear in only some of them
             _encode_tree(dense, sub, types, out_streams, encodings,
-                         writer_tz, False, no_dict, defer_bits)
+                         writer_tz, force_present, no_dict, defer_bits)
         encodings[cid] = (ENC_DIRECT, 0)
         return
     if arr.null_count or (force_present and cid != 0):
@@ -373,8 +376,8 @@ def _pos_extras(col_kind: int, stream_kind: int) -> int:
         if col_kind == TK_BOOL:
             return 2
         if col_kind in (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
-                        TK_TIMESTAMP):
-            return 1  # RLE value skip
+                        TK_TIMESTAMP, TK_UNION):
+            return 1  # RLE value skip (union TAG is a byte-RLE stream)
         return 0      # float/double/string/binary/decimal-varint bytes
     if stream_kind in (K_LENGTH, K_SECONDARY):
         return 1      # RLE value skip

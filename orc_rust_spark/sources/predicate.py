@@ -3,13 +3,17 @@ the reference's `src/predicate.rs:27-186` (Comparison / IsNull /
 IsNotNull / And / Or / Not) and its stats evaluation in
 `src/row_group_filter.rs:51-470`.
 
-Semantics (three-valued collapsed to keep/skip, exactly as the
-reference):  an evaluation returns False only when the statistics PROVE
-no row in the unit (stripe or row group) can match; missing statistics,
-unsupported types, and undecidable cases all return True (keep).  `Not`
-negates the keep/skip answer directly — the reference does the same
-(`row_group_filter.rs:106-114`), which stays conservative for leaves
-whose skip answer is exact and mirrors its behavior everywhere else.
+Semantics: an evaluation returns False (skip) only when the statistics
+PROVE no row in the unit (stripe or row group) can match; missing
+statistics, unsupported types, and undecidable cases all return True
+(keep).  Internally the evaluator is THREE-VALUED — each node computes
+(may_match, must_match_all) — so `Not` stays sound: `not p` skips a
+unit only when `p` provably matches EVERY row in it.  This deliberately
+deviates from the reference's plain boolean negation
+(`row_group_filter.rs:106-114`), which silently prunes units that
+contain matching rows whenever the inner answer was merely "maybe";
+ours keeps strictly more (never fewer) rows than the reference there,
+preserving the conservative-pruning contract for arbitrary nesting.
 """
 
 from __future__ import annotations
@@ -122,36 +126,58 @@ class Predicate:
 
         True = the unit may contain matching rows (keep);
         False = statistics prove no row matches (skip)."""
+        may, _must = self._evaluate3(stats_of)
+        return may
+
+    def _evaluate3(self, stats_of) -> tuple[bool, bool]:
+        """(may_match, must_match_all): may_match False proves NO row
+        matches; must_match_all True proves EVERY row matches.  Both are
+        conservative under-/over-approximations, so `not` can swap them
+        soundly: not(p) may-match unless p must-match-all, and
+        must-match-all only when p cannot match at all."""
         k = self.kind
         if k == "and":
-            return all(c.evaluate(stats_of) for c in self.children)
+            mays, musts = zip(*(c._evaluate3(stats_of)
+                                for c in self.children)) \
+                if self.children else ((), ())
+            return all(mays), all(musts) if musts else True
         if k == "or":
             if not self.children:
-                return True
-            return any(c.evaluate(stats_of) for c in self.children)
+                return True, False
+            mays, musts = zip(*(c._evaluate3(stats_of)
+                                for c in self.children))
+            # any child matching all rows makes the OR match all rows
+            # (sufficient, not necessary — stays an under-approximation)
+            return any(mays), any(musts)
         if k == "not":
-            return not self.children[0].evaluate(stats_of)
+            may_c, must_c = self.children[0]._evaluate3(stats_of)
+            return not must_c, not may_c
         st = stats_of(self.column)
         if st is None:
-            return True
+            return True, False
         if k == "is_null":
-            return True if st.has_null is None else bool(st.has_null)
+            may = True if st.has_null is None else bool(st.has_null)
+            must = st.n_values == 0 if st.n_values is not None else False
+            return may, must
         if k == "is_not_null":
-            return True if st.n_values is None else st.n_values > 0
+            may = True if st.n_values is None else st.n_values > 0
+            must = st.has_null is False
+            return may, must
         # comparison
         rng = st.range
         if rng is None:
-            return True
+            return True, False
         mn, mx = rng
         v = self.value
         if isinstance(v, bool) or v is None:
-            return True  # boolean ranges unsupported here; conservative
+            return True, False  # boolean ranges unsupported; conservative
         if isinstance(v, str) != isinstance(mn, str):
-            return True  # type mismatch with the stats: cannot prune
+            return True, False  # type mismatch with the stats
+        nullable = st.has_null is not False  # nulls never match a cmp
         if isinstance(v, float) or isinstance(mn, float):
-            # reference float epsilon semantics
+            # reference float epsilon semantics for the may side
             mnf, mxf, vf = float(mn), float(mx), float(v)
-            return {
+            may = {
                 "eq": (mnf - _EPS) <= vf <= (mxf + _EPS),
                 "ne": not (abs(mnf - vf) < _EPS and abs(mxf - vf) < _EPS),
                 "lt": mnf < vf,
@@ -159,7 +185,16 @@ class Predicate:
                 "gt": mxf > vf,
                 "ge": mxf >= vf,
             }[self.op]
-        return {
+            must = not nullable and {
+                "eq": abs(mnf - vf) < _EPS and abs(mxf - vf) < _EPS,
+                "ne": vf < mnf - _EPS or vf > mxf + _EPS,
+                "lt": mxf < vf,
+                "le": mxf <= vf,
+                "gt": mnf > vf,
+                "ge": mnf >= vf,
+            }[self.op]
+            return may, must
+        may = {
             "eq": mn <= v <= mx,
             "ne": not (mn == v and mx == v),
             "lt": mn < v,
@@ -167,6 +202,15 @@ class Predicate:
             "gt": mx > v,
             "ge": mx >= v,
         }[self.op]
+        must = not nullable and {
+            "eq": mn == v and mx == v,
+            "ne": v < mn or v > mx,
+            "lt": mx < v,
+            "le": mx <= v,
+            "gt": mn > v,
+            "ge": mn >= v,
+        }[self.op]
+        return may, must
 
     def columns(self) -> set[str]:
         out: set[str] = set()

@@ -56,15 +56,24 @@ def test_null_checks_and_logic():
     assert not P.and_([P.eq("a", 3), P.eq("a", 9)]).evaluate(s)
     assert P.or_([P.eq("a", 9), P.eq("a", 3)]).evaluate(s)
     assert not P.or_([P.eq("a", 9), P.eq("a", 8)]).evaluate(s)
-    # Not mirrors the reference's plain negation (row_group_filter.rs:106)
+    # Not is three-valued-sound (deviates from the reference's plain
+    # negation): skips ONLY when the inner predicate provably matches
+    # every row of the unit
     assert P.not_(P.eq("a", 9)).evaluate(s)
-    assert not P.not_(P.eq("a", 3)).evaluate(s)
+    assert P.not_(P.eq("a", 3)).evaluate(s)   # maybe-eq -> must keep
+    const = _stats(c7=ColStats(7, 7, 5, False))
+    assert not P.not_(P.eq("c7", 7)).evaluate(const)  # all rows == 7
+    assert P.not_(P.eq("c7", 8)).evaluate(const)
+    assert not P.not_(P.lte("c7", 10)).evaluate(const)
+    # nulls block must-match-all: a null row never matches the inner cmp
+    constn = _stats(c7=ColStats(7, 7, 5, True))
+    assert P.not_(P.eq("c7", 7)).evaluate(constn)
 
 
 def test_missing_stats_conservative():
     s = _stats()
     for p in (P.eq("zzz", 1), P.is_null("zzz"), P.not_(P.eq("zzz", 1))):
-        assert p.evaluate(s) or p.kind == "not"  # not(maybe) flips; leaf keeps
+        assert p.evaluate(s)  # unknown stats never prune, even under NOT
     # type mismatch with stats never prunes
     s2 = _stats(x=ColStats("a", "b", 1, False))
     assert P.eq("x", 5).evaluate(s2)
@@ -209,9 +218,5 @@ def test_predicate_conservative_property(tmp_path):
             }
             keep = pred.evaluate(lambda c: stats.get(c))
             if not keep:
-                # NOT(maybe) can skip a group that has matches only when
-                # the inner answer was exact; the reference negates the
-                # same way.  Conservativeness must hold for predicates
-                # without NOT, which is what the reader pushes down.
-                if pred.kind != "not":
-                    assert not truth[sl].any(), (trial, g0, repr(pred))
+                # three-valued NOT keeps this sound for EVERY predicate
+                assert not truth[sl].any(), (trial, g0, repr(pred))

@@ -122,3 +122,26 @@ def test_row_index_stride_not_multiple_of_8(tmp_path):
     assert got_b == [bool(i % 3) for i in range(3_750, 5_000)]
     got_s = out.column("s").to_pylist()
     assert got_s == [f"v{i}" if i % 5 else None for i in range(3_750, 5_000)]
+
+
+def test_row_index_with_union_column(tmp_path):
+    """Row-index mode with a sparse union whose child has nulls in only
+    some groups: stream sets must stay identical across groups (the
+    union branch used to drop force_present for children)."""
+    path = str(tmp_path / "union_ri.orc")
+    n = 64
+    tags = pa.array([i % 2 for i in range(n)], pa.int8())
+    floats = pa.array([None if i >= 32 or i % 2 else float(i)
+                       for i in range(n)], pa.float64())
+    strs = pa.array([f"s{i}" for i in range(n)])
+    u = pa.UnionArray.from_sparse(tags, [floats, strs])
+    tbl = pa.table({"u": u, "k": pa.array(np.arange(n, dtype=np.int64))})
+    write_orc(path, tbl, stripe_rows=n, row_index_stride=16)
+    got = read_orc(path)
+    gu = got.column("u").combine_chunks()
+    assert np.asarray(gu.type_codes).tolist() == tags.to_pylist()
+    # ORC stores dense children: only tag-selected slots round-trip
+    got_s = [gu.field(1)[i].as_py() for i in range(1, n, 2)]
+    assert got_s == [f"s{i}" for i in range(1, n, 2)]
+    ev = [gu.field(0)[i].as_py() for i in range(0, n, 2)]
+    assert ev == [float(i) if i < 32 else None for i in range(0, n, 2)]
