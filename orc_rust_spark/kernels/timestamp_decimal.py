@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .rle_v1 import rle_v1_decode as _rle_v1_decode
 from .rle_v2 import rle_v2_decode
 from .util import I64, read_varint_zigzagged
 
@@ -32,11 +33,14 @@ ORC_TS_BASE_SECONDS = 1_420_070_400
 
 
 def timestamp_decode(data_stream, secondary_stream, n: int,
-                     base_seconds: int = ORC_TS_BASE_SECONDS) -> np.ndarray:
+                     base_seconds: int = ORC_TS_BASE_SECONDS,
+                     rle_version: int = 2) -> np.ndarray:
     """Decode the two-stream timestamp encoding to int64 nanoseconds
-    since the unix epoch (vectorized)."""
-    seconds = rle_v2_decode(data_stream, n, signed=True) + np.int64(base_seconds)
-    raw = rle_v2_decode(secondary_stream, n, signed=False)
+    since the unix epoch (vectorized).  `rle_version=1` decodes the
+    seconds/nanos streams with RLEv1 (ORC v0.11 files)."""
+    _dec = rle_v2_decode if rle_version == 2 else _rle_v1_decode
+    seconds = _dec(data_stream, n, signed=True) + np.int64(base_seconds)
+    raw = _dec(secondary_stream, n, signed=False)
     zeros = (raw & np.int64(7)).astype(np.int64)
     base = (raw >> np.int64(3)).astype(np.int64)
     scale = np.power(10, np.where(zeros != 0, zeros + 1, 0)).astype(np.int64)
@@ -134,7 +138,7 @@ def decimal_encode(mantissas, scale: int) -> tuple[bytes, bytes]:
 
 
 def decimal_decode(data_stream, secondary_stream, n: int,
-                   target_scale: int) -> list[int]:
+                   target_scale: int, rle_version: int = 2) -> list[int]:
     """Decode varint mantissas + per-value scales, rescaled to
     `target_scale` (returns unscaled int mantissas; exact py-int math)."""
     buf = memoryview(data_stream)
@@ -143,7 +147,8 @@ def decimal_decode(data_stream, secondary_stream, n: int,
     for _ in range(n):
         v, pos = read_varint_zigzagged(buf, pos, True)
         mantissas.append(v)
-    scales = rle_v2_decode(secondary_stream, n, signed=True)
+    _dec = rle_v2_decode if rle_version == 2 else _rle_v1_decode
+    scales = _dec(secondary_stream, n, signed=True)
     out: list[int] = []
     for m, s in zip(mantissas, scales.tolist()):
         d = target_scale - s

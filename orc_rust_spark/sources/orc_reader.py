@@ -386,6 +386,17 @@ def _ints(buf, n: int, enc: int, signed: bool) -> np.ndarray:
     return rle_v1_decode(buf, n, signed=signed)
 
 
+def _decimal_ps(t: dict) -> tuple[int, int]:
+    """Precision/scale of a DECIMAL type entry.  Legacy (Hive 0.11)
+    files omit both; the ORC C++ library (and therefore pyarrow) maps
+    those to decimal128(38, 6), and the scale drives the two-stream
+    mantissa repair — scale 0 silently truncated fractional digits on
+    such files (caught on orc_split_elim.orc)."""
+    if t["precision"]:
+        return t["precision"], t["scale"]
+    return 38, 6
+
+
 def _respace(vals: np.ndarray, validity, n: int) -> tuple[np.ndarray, np.ndarray | None]:
     if validity is None:
         return vals, None
@@ -509,13 +520,23 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         take_idx[validity] = np.arange(n_valid, dtype=np.int64)
         return vals_arr.take(pa.array(take_idx, pa.int64(), mask=~validity))
     if kind == TK_DECIMAL:
-        mant = decimal_decode(data(), data(K_SECONDARY), n_valid, t["scale"])
-        at = pa.decimal128(t["precision"] or 38, t["scale"])
-        storage = np.empty((n_valid, 2), dtype=np.int64)
-        storage[:, 0] = np.array(mant, dtype=np.int64)
-        storage[:, 1] = storage[:, 0] >> np.int64(63)
+        prec, scale = _decimal_ps(t)
+        mant = decimal_decode(data(), data(K_SECONDARY), n_valid, scale,
+                              rle_version=2 if enc in (ENC_DIRECT_V2,
+                                                       ENC_DICT_V2) else 1)
+        at = pa.decimal128(prec, scale)
+        try:
+            # int64 fast path: lo word + sign-extended hi word
+            storage = np.empty((n_valid, 2), dtype=np.int64)
+            storage[:, 0] = np.array(mant, dtype=np.int64)
+            storage[:, 1] = storage[:, 0] >> np.int64(63)
+            raw16 = storage.tobytes()
+        except OverflowError:
+            # full decimal128 range: exact 16-byte little-endian ints
+            raw16 = b"".join(int(m).to_bytes(16, "little", signed=True)
+                             for m in mant)
         arr = pa.Array.from_buffers(at, n_valid,
-                                    [None, pa.py_buffer(storage.tobytes())])
+                                    [None, pa.py_buffer(raw16)])
         if validity is None:
             return arr
         idx = np.full(n, -1, dtype=np.int64)
@@ -524,13 +545,21 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
     if kind == TK_UNION:
         # sparse-union assembly (`src/array_decoder/union.rs:36-163`):
         # byte TAG stream selects the variant; ORC's dense children are
-        # re-spaced to full length for arrow's sparse layout
-        if validity is not None:
-            raise TypeError("union columns with PRESENT are unsupported")
-        tags = byte_rle_decode(data(), n).view(np.int8)
+        # re-spaced to full length for arrow's sparse layout.  With a
+        # PRESENT stream, null slots carry tag 0 and stay null in child
+        # 0 — arrow unions have no top-level validity, so nullability
+        # lives in the children (the reference does the same)
+        tags_dense = byte_rle_decode(data(), n_valid).view(np.int8)
+        if validity is None:
+            tags = tags_dense
+        else:
+            tags = np.zeros(n, dtype=np.int8)
+            tags[validity] = tags_dense
         children = []
         for i, sub in enumerate(t["subtypes"]):
             sel = tags == np.int8(i)
+            if validity is not None:
+                sel = sel & validity
             cnt = int(sel.sum())
             dense = _decode_column(sub, meta, streams, encodings, cnt,
                                    writer_tz)
@@ -540,7 +569,9 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
                                                 mask=idx < 0)))
         return pa.UnionArray.from_sparse(pa.array(tags, pa.int8()), children)
     if kind in (TK_TIMESTAMP, TK_TIMESTAMP_INSTANT):
-        ns = timestamp_decode(data(), data(K_SECONDARY), n_valid)
+        ns = timestamp_decode(data(), data(K_SECONDARY), n_valid,
+                              rle_version=2 if enc in (ENC_DIRECT_V2,
+                                                       ENC_DICT_V2) else 1)
         if kind == TK_TIMESTAMP and writer_tz is not None:
             ns = _tz_to_utc_ns(ns, writer_tz)
         v, m = _respace(ns, validity, n)
@@ -564,7 +595,7 @@ def _arrow_type_of(meta: OrcMeta, cid: int) -> pa.DataType:
     if kind in scalar:
         return scalar[kind]
     if kind == TK_DECIMAL:
-        return pa.decimal128(t["precision"] or 38, t["scale"])
+        return pa.decimal128(*_decimal_ps(t))
     if kind == TK_LIST:
         return pa.list_(_arrow_type_of(meta, t["subtypes"][0]))
     if kind == TK_MAP:
