@@ -8,8 +8,13 @@ compression does not shrink a block, `compression.rs:104-123`).  Default
 block size 256 KiB (`compression.rs:31`).
 
 zlib uses raw DEFLATE (no zlib wrapper), matching ORC's spec and the
-reference's flate2 usage.  snappy/lz4/zstd are supported when their
-Python modules exist (import-guarded; absent in this container).
+reference's flate2 usage.  snappy and zstd route through pyarrow's
+codecs (raw snappy's LEB128 length preamble / the zstd frame content
+size supply the exact decompressed sizes pyarrow requires); lz4 blocks
+decode with a pure-python LZ4-block reader (the format carries no
+length, and only the decoder itself knows where output ends).
+Standalone python modules are preferred when importable; lzo stays
+unsupported (no public pure-python codec).
 """
 
 from __future__ import annotations
@@ -34,6 +39,93 @@ try:  # pragma: no cover
     import lz4.block as _lz4
 except ImportError:
     _lz4 = None
+try:
+    import pyarrow as _pa
+    _PA_SNAPPY = _pa.Codec("snappy") if _pa.Codec.is_available("snappy") \
+        else None
+    _PA_LZ4 = _pa.Codec("lz4_raw") if _pa.Codec.is_available("lz4") else None
+    _PA_ZSTD = _pa.Codec("zstd") if _pa.Codec.is_available("zstd") else None
+except Exception:  # pragma: no cover
+    _PA_SNAPPY = _PA_LZ4 = _PA_ZSTD = None
+
+
+def _snappy_embedded_size(block: bytes) -> int:
+    """Raw snappy's preamble: LEB128 uncompressed length."""
+    size = 0
+    shift = 0
+    i = 0
+    while True:
+        b = block[i]
+        size |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return size
+        shift += 7
+
+
+def _zstd_frame_content_size(block: bytes) -> int | None:
+    """Zstd frame header's Frame_Content_Size field, when present."""
+    if len(block) < 5 or block[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = block[4]
+    fcs_flag = fhd >> 6
+    single_seg = (fhd >> 5) & 1
+    pos = 5
+    if not single_seg:
+        pos += 1  # window descriptor
+    did = fhd & 3
+    pos += (0, 1, 2, 4)[did]
+    if fcs_flag == 0:
+        if not single_seg:
+            return None
+        return block[pos]
+    nbytes = (0, 2, 4, 8)[fcs_flag]
+    v = int.from_bytes(block[pos: pos + nbytes], "little")
+    if fcs_flag == 1:
+        v += 256
+    return v
+
+
+def _lz4_block_decompress(src: bytes) -> bytes:
+    """Pure-python LZ4 BLOCK decoder (public format spec): sequences of
+    (token, literals, 2-byte LE offset, match).  Exact output length by
+    construction — the last sequence is literals-only."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i: i + lit]
+        i += lit
+        if i >= n:
+            break  # final literals-only sequence
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - off
+        if off >= mlen:
+            out += out[start: start + mlen]
+        else:  # overlapping match: byte-by-byte copy semantics
+            for j in range(mlen):
+                out.append(out[start + j])
+    return bytes(out)
 
 
 def _compress_one(kind: int, block: bytes) -> bytes:
@@ -42,10 +134,16 @@ def _compress_one(kind: int, block: bytes) -> bytes:
         return c.compress(block) + c.flush()
     if kind == K_ZSTD and _zstd is not None:
         return _zstd.ZstdCompressor().compress(block)
+    if kind == K_ZSTD and _PA_ZSTD is not None:
+        return bytes(_PA_ZSTD.compress(block))
     if kind == K_SNAPPY and _snappy is not None:
         return _snappy.compress(block)
+    if kind == K_SNAPPY and _PA_SNAPPY is not None:
+        return bytes(_PA_SNAPPY.compress(block))
     if kind == K_LZ4 and _lz4 is not None:
         return _lz4.compress(block, store_size=False)
+    if kind == K_LZ4 and _PA_LZ4 is not None:
+        return bytes(_PA_LZ4.compress(block))
     raise ValueError(f"unsupported compression kind {kind}")
 
 
@@ -55,13 +153,29 @@ def _decompress_one(kind: int, block: bytes,
         return zlib.decompress(block, -zlib.MAX_WBITS)
     if kind == K_ZSTD and _zstd is not None:
         return _zstd.ZstdDecompressor().decompress(block)
+    if kind == K_ZSTD and _PA_ZSTD is not None:
+        fcs = _zstd_frame_content_size(block)
+        if fcs is None:
+            raise ValueError("zstd frame without content size "
+                             "(pyarrow codec needs the exact length)")
+        return bytes(_PA_ZSTD.decompress(block, fcs))
     if kind == K_SNAPPY and _snappy is not None:
         return _snappy.decompress(block)
+    if kind == K_SNAPPY and _PA_SNAPPY is not None:
+        # raw snappy embeds its uncompressed length in a preamble
+        return bytes(_PA_SNAPPY.decompress(
+            block, _snappy_embedded_size(block)))
     if kind == K_LZ4 and _lz4 is not None:
         # raw lz4 blocks don't carry their size; ORC chunk bodies are
         # bounded by the writer's block size, which the decompressor
         # takes as the allocation hint
         return _lz4.decompress(block, uncompressed_size=max_size)
+    if kind == K_LZ4:
+        # raw lz4 blocks carry no length (and padding a size bound
+        # corrupts protobuf streams), but the block format itself tells
+        # us where output ends: decode it directly.  Interop-fixture
+        # path, not a hot loop.
+        return _lz4_block_decompress(block)
     raise ValueError(f"unsupported compression kind {kind}")
 
 

@@ -25,12 +25,7 @@ DATA = "/root/reference/tests/integration/data"
 # codecs whose libraries are absent from this image (import-guarded in
 # kernels/compression.py) or formats out of scope (ORCv2 preview)
 SKIP = {
-    "TestOrcFile.testSnappy.orc": "snappy lib absent",
-    "TestOrcFile.testWithoutIndex.orc": "snappy lib absent",
-    "nulls-at-end-snappy.orc": "snappy lib absent",
-    "TestVectorOrcFile.testLz4.orc": "lz4 lib absent",
-    "TestVectorOrcFile.testLzo.orc": "lzo unsupported",
-    "TestVectorOrcFile.testZstd.0.12.orc": "zstd lib absent",
+    "TestVectorOrcFile.testLzo.orc": "lzo unsupported (no public codec)",
     "decimal64_v2.orc": "ORCv2 preview format (UNSTABLE-PRE-2.0)",
     "decimal64_v2_cplusplus.orc": "ORCv2 preview format (UNSTABLE-PRE-2.0)",
 }

@@ -26,6 +26,9 @@ FIXTURES = [
     "pyorc_rlev2_patchedbase.orc",  # RLEv2 patched-base int16
     "alltypes.none.orc",            # every scalar type, uncompressed
     "alltypes.zlib.orc",            # same, chunked-zlib streams
+    "alltypes.snappy.orc",          # same, snappy chunks (pyarrow codec)
+    "alltypes.lz4.orc",             # same, lz4 blocks (own block decoder)
+    "alltypes.zstd.orc",            # same, zstd frames (pyarrow codec)
     "nested_array.orc",             # list<int32>
     "nested_array_float.orc",       # list<float>
     "nested_array_struct.orc",      # list<struct>
