@@ -13,8 +13,9 @@ codecs (raw snappy's LEB128 length preamble / the zstd frame content
 size supply the exact decompressed sizes pyarrow requires); lz4 blocks
 decode with a pure-python LZ4-block reader (the format carries no
 length, and only the decoder itself knows where output ends).
-Standalone python modules are preferred when importable; lzo stays
-unsupported (no public pure-python codec).
+Standalone python modules are preferred when importable.  lzo decodes
+through a pure-python LZO1X reader written against the public stream
+format documentation (decode-only, like the reference).
 """
 
 from __future__ import annotations
@@ -176,6 +177,8 @@ def _decompress_one(kind: int, block: bytes,
         # us where output ends: decode it directly.  Interop-fixture
         # path, not a hot loop.
         return _lz4_block_decompress(block)
+    if kind == K_LZO:
+        return _lzo1x_decompress(block)
     raise ValueError(f"unsupported compression kind {kind}")
 
 
@@ -221,4 +224,111 @@ def decompress_stream(buf, kind: int,
         out += body if header & 1 else _decompress_one(kind, body, block_size)
         if max_bytes is not None and len(out) >= max_bytes:
             break
+    return bytes(out)
+
+
+def _lzo1x_decompress(src: bytes) -> bytes:
+    """Pure-python LZO1X decompressor, written against the public
+    stream-format documentation (the Linux kernel's Documentation/
+    lzo.txt description of instruction encodings and the trailing-state
+    literal rule).  Decode-only: ORC's lzo files are read, never
+    written (`src/compression.rs:125-213` is also decode-only)."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+
+    def _count_zeros_then(base: int) -> int:
+        nonlocal i
+        length = 0
+        while src[i] == 0:
+            length += 255
+            i += 1
+        length += base + src[i]
+        i += 1
+        return length
+
+    state = 0
+    t = src[i]
+    if t > 17:  # initial literal run
+        i += 1
+        ln = t - 17
+        out += src[i: i + ln]
+        i += ln
+        state = 4 if ln >= 4 else ln
+        t = src[i]
+
+    while True:
+        t = src[i]
+        i += 1
+        if t <= 15:
+            if state == 0:
+                # long/short literal run
+                ln = _count_zeros_then(15) if t == 0 else t
+                ln += 3
+                out += src[i: i + ln]
+                i += ln
+                state = 4
+                continue
+            elif state <= 3:
+                # 2-byte match, distance <= 1024, from the t we just read
+                d = (src[i] << 2) + (t >> 2) + 1
+                i += 1
+                pos = len(out) - d
+                out += bytes((out[pos], out[pos + 1]))
+                state = t & 3
+            else:
+                # state == 4: 3-byte match, distance 2049..3072
+                d = (src[i] << 2) + (t >> 2) + 2049
+                i += 1
+                pos = len(out) - d
+                for j in range(3):
+                    out.append(out[pos + j])
+                state = t & 3
+        elif t <= 31:
+            ln = _count_zeros_then(31) if (t & 7) == 0 else (t & 7)
+            ln += 2
+            le = src[i] | (src[i + 1] << 8)
+            i += 2
+            d = 16384 + ((t & 8) << 11) + (le >> 2)
+            state = le & 3
+            if d == 16384:
+                break  # end-of-stream marker
+            pos = len(out) - d
+            if d >= ln:
+                out += out[pos: pos + ln]
+            else:
+                for j in range(ln):
+                    out.append(out[pos + j])
+        elif t <= 63:
+            ln = _count_zeros_then(31) if (t & 31) == 0 else (t & 31)
+            ln += 2
+            le = src[i] | (src[i + 1] << 8)
+            i += 2
+            d = (le >> 2) + 1
+            state = le & 3
+            pos = len(out) - d
+            if d >= ln:
+                out += out[pos: pos + ln]
+            else:
+                for j in range(ln):
+                    out.append(out[pos + j])
+        else:
+            if t <= 127:
+                ln = 3 + ((t >> 5) & 1)
+            else:
+                ln = 5 + ((t >> 5) & 3)
+            d = (src[i] << 3) + ((t >> 2) & 7) + 1
+            i += 1
+            state = t & 3
+            pos = len(out) - d
+            if d >= ln:
+                out += out[pos: pos + ln]
+            else:
+                for j in range(ln):
+                    out.append(out[pos + j])
+        if state:
+            out += src[i: i + state]
+            i += state
+            # trailing literals 1..3 keep the short-match state machine
+            # in its "last were few literals" mode (state stays 1..3)
     return bytes(out)

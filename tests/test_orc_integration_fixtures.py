@@ -25,7 +25,6 @@ DATA = "/root/reference/tests/integration/data"
 # codecs whose libraries are absent from this image (import-guarded in
 # kernels/compression.py) or formats out of scope (ORCv2 preview)
 SKIP = {
-    "TestVectorOrcFile.testLzo.orc": "lzo unsupported (no public codec)",
     "decimal64_v2.orc": "ORCv2 preview format (UNSTABLE-PRE-2.0)",
     "decimal64_v2_cplusplus.orc": "ORCv2 preview format (UNSTABLE-PRE-2.0)",
 }

@@ -29,6 +29,7 @@ FIXTURES = [
     "alltypes.snappy.orc",          # same, snappy chunks (pyarrow codec)
     "alltypes.lz4.orc",             # same, lz4 blocks (own block decoder)
     "alltypes.zstd.orc",            # same, zstd frames (pyarrow codec)
+    "alltypes.lzo.orc",             # same, LZO1X (own pure-python decoder)
     "nested_array.orc",             # list<int32>
     "nested_array_float.orc",       # list<float>
     "nested_array_struct.orc",      # list<struct>
