@@ -89,19 +89,20 @@ class SymbolTable:
                 if self._h3code[slot] < 0:
                     self._h3code[slot] = c
 
-    def match_tables(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized longest-match: per position, (match_len, code);
-        match_len 0 => escape (2 output bytes for 1 input byte)."""
+    def match_packed(self, data: np.ndarray) -> np.ndarray:
+        """Vectorized longest-match: per position, one int32
+        ``(code << 4) | match_len``; 0 => escape (2 output bytes for 1
+        input byte).  One array and one masked scatter per priority
+        class — the split (mlen, mcode) pair paid double the write
+        traffic."""
         n = len(data)
-        mlen = np.zeros(n, dtype=np.int32)
-        mcode = np.zeros(n, dtype=np.int32)
+        m = np.zeros(n, dtype=np.int32)
         if n == 0:
-            return mlen, mcode
+            return m
         # 1-byte LUT (weakest priority — assigned first, overwritten later)
         c1 = self._lut1[data]
         h1 = c1 >= 0
-        mlen[h1] = 1
-        mcode[h1] = c1[h1]
+        m[h1] = (c1[h1] << np.int32(4)) | np.int32(1)
         key3 = None
         if n >= 3 and len(self.symbols):
             key3 = ((data[:-2].astype(np.uint32) << np.uint32(16))
@@ -118,8 +119,7 @@ class SymbolTable:
                 d32 = data.astype(np.int32)
                 c2 = self._lut2[(d32[:-1] << np.int32(8)) | d32[1:]]
             h2 = c2 >= 0
-            mlen[:-1][h2] = 2
-            mcode[:-1][h2] = c2[h2]
+            m[:-1][h2] = (c2[h2] << np.int32(4)) | np.int32(2)
         # len>=3: one hash probe per position
         if key3 is not None:
             slot = (key3 * _H3_MULT) >> np.uint32(32 - _H3_BITS)
@@ -141,9 +141,14 @@ class SymbolTable:
                 hit = ((fk >> shift) << shift == self._h3key[cc]) \
                     & (cand + ln3 <= n)
                 ph = cand[hit]
-                mlen[ph] = ln3[hit]
-                mcode[ph] = cc[hit]
-        return mlen, mcode
+                m[ph] = ((cc[hit] << np.int64(4)) | ln3[hit]).astype(np.int32)
+        return m
+
+    def match_tables(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(match_len, code) pair view of `match_packed` (kept for tests
+        and external callers)."""
+        m = self.match_packed(data)
+        return m & np.int32(15), m >> np.int32(4)
 
     def to_bytes(self) -> bytes:
         out = bytearray()
@@ -220,16 +225,16 @@ def _parse(data: np.ndarray, table: SymbolTable) -> np.ndarray:
     n = len(data)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
-    mlen, mcode = table.match_tables(data)
-    chain = _chain(mlen)
-    ml = mlen[chain]
-    esc = ml == 0
+    m = table.match_packed(data)
+    chain = _chain(m & np.int32(15))
+    mc = m[chain]  # packed (code, len) gathered once at chain positions
+    esc = mc == 0
     out_sz = np.where(esc, 2, 1)
     offs = np.zeros(len(chain) + 1, dtype=np.int64)
     np.cumsum(out_sz, out=offs[1:])
     out = np.empty(int(offs[-1]), dtype=np.uint8)
     pos0 = offs[:-1]
-    out[pos0[~esc]] = mcode[chain[~esc]]
+    out[pos0[~esc]] = (mc[~esc] >> np.int32(4)).astype(np.uint8)
     out[pos0[esc]] = ESCAPE
     out[pos0[esc] + 1] = data[chain[esc]]
     return out
@@ -246,11 +251,13 @@ def train(data: np.ndarray, iterations: int = 4,
     sample = data[:sample_bytes]
     table = SymbolTable([])
     for _ in range(iterations):
-        mlen, mcode = table.match_tables(sample)
-        chain = _chain(mlen)
-        ml = mlen[chain]
+        m = table.match_packed(sample)
+        chain = _chain(m & np.int32(15))
+        mc = m[chain]
+        ml = mc & np.int32(15)
         # symbol identity per parsed token: code, or 256+byte for escapes
-        sym_id = np.where(ml > 0, mcode[chain], 256 + sample[chain].astype(np.int64))
+        sym_id = np.where(ml > 0, (mc >> np.int32(4)).astype(np.int64),
+                          256 + sample[chain].astype(np.int64))
         sym_list = table.symbols
         id_len = np.concatenate((
             np.array([len(s) for s in sym_list] + [0] * (256 - len(sym_list)),
