@@ -79,11 +79,21 @@ def boolean_decode(buf, n: int) -> np.ndarray:
         if buf.compression:
             from .compression import decompress_stream
             # headroom: byte-RLE literal runs spend 1 header byte per
-            # 128 payload bytes, so nbytes decoded values need at most
-            # nbytes + ceil(nbytes/128) + 2 STREAM bytes
+            # 128 payload bytes, plus one extra header per group-flush
+            # segment the read spans (boolean_encode_with_marks flushes
+            # runs at mark boundaries).  The +16 covers a dozen such
+            # segments; if the read still spans more, fall back to full
+            # decompression below.
             raw = decompress_stream(raw, buf.compression, buf.block_size,
-                                    max_bytes=nbytes + nbytes // 128 + 4)
-        packed = byte_rle_decode(raw, nbytes, exact=False)
+                                    max_bytes=nbytes + nbytes // 128 + 16)
+        try:
+            packed = byte_rle_decode(raw, nbytes, exact=False)
+        except IndexError:
+            if not buf.compression:
+                raise
+            raw = decompress_stream(buf.buf, buf.compression,
+                                    buf.block_size)
+            packed = byte_rle_decode(raw, nbytes, exact=False)
         return np.unpackbits(packed[buf.skip_bytes:])[
             buf.skip_bits: buf.skip_bits + n].astype(bool)
     nbytes = (n + 7) // 8

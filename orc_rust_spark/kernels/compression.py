@@ -42,12 +42,24 @@ except ImportError:
     _lz4 = None
 try:
     import pyarrow as _pa
-    _PA_SNAPPY = _pa.Codec("snappy") if _pa.Codec.is_available("snappy") \
-        else None
-    _PA_LZ4 = _pa.Codec("lz4_raw") if _pa.Codec.is_available("lz4") else None
-    _PA_ZSTD = _pa.Codec("zstd") if _pa.Codec.is_available("zstd") else None
 except Exception:  # pragma: no cover
-    _PA_SNAPPY = _PA_LZ4 = _PA_ZSTD = None
+    _pa = None
+
+
+def _pa_codec(name: str):
+    """Construct one pyarrow codec, independently guarded — a failure
+    for one codec must not disable the others."""
+    if _pa is None:
+        return None
+    try:
+        return _pa.Codec(name) if _pa.Codec.is_available(name) else None
+    except Exception:  # pragma: no cover
+        return None
+
+
+_PA_SNAPPY = _pa_codec("snappy")
+_PA_LZ4 = _pa_codec("lz4_raw")
+_PA_ZSTD = _pa_codec("zstd")
 
 
 def _snappy_embedded_size(block: bytes) -> int:
@@ -285,7 +297,10 @@ def _lzo1x_decompress(src: bytes) -> bytes:
                     out.append(out[pos + j])
                 state = t & 3
         elif t <= 31:
-            ln = _count_zeros_then(31) if (t & 7) == 0 else (t & 7)
+            # M4: 3-bit L field, so the extended-length base is 7 (the
+            # 5-bit M3 branch below keeps base 31) — lzo.txt:
+            # length = 2 + (L ?: 7 + 255*zeros + nonzero)
+            ln = _count_zeros_then(7) if (t & 7) == 0 else (t & 7)
             ln += 2
             le = src[i] | (src[i + 1] << 8)
             i += 2

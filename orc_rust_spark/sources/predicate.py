@@ -177,17 +177,29 @@ class Predicate:
         if isinstance(v, float) or isinstance(mn, float):
             # reference float epsilon semantics for the may side
             mnf, mxf, vf = float(mn), float(mx), float(v)
+            # may side is an OVER-approximation: epsilon only ever
+            # WIDENS it (eq).  ne uses exact bounds — the reference's
+            # epsilon there (row_group_filter.rs) can skip a unit whose
+            # rows are within eps of v but not equal; like our NOT
+            # semantics, we deviate only in the keeps-more-rows
+            # direction.
             may = {
                 "eq": (mnf - _EPS) <= vf <= (mxf + _EPS),
-                "ne": not (abs(mnf - vf) < _EPS and abs(mxf - vf) < _EPS),
+                "ne": not (mnf == vf and mxf == vf),
                 "lt": mnf < vf,
                 "le": mnf <= vf,
                 "gt": mxf > vf,
                 "ge": mxf >= vf,
             }[self.op]
+            # the must side is an UNDER-approximation: no epsilon
+            # widening here.  Epsilon on eq would over-claim (stats
+            # within eps of v with rows != v), and Not(eq) would then
+            # silently drop rows.  Exact bounds are always sound:
+            # min==v==max ⇒ every row equals v; v outside [min,max] ⇒
+            # no row equals v.
             must = not nullable and {
-                "eq": abs(mnf - vf) < _EPS and abs(mxf - vf) < _EPS,
-                "ne": vf < mnf - _EPS or vf > mxf + _EPS,
+                "eq": mnf == vf and mxf == vf,
+                "ne": vf < mnf or vf > mxf,
                 "lt": mxf < vf,
                 "le": mxf <= vf,
                 "gt": mnf > vf,
