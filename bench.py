@@ -125,7 +125,10 @@ def main() -> None:
         for name in ["roundtrip_tokens", "roundtrip_lineitem", "minhash_lsh_pairs",
                      "simhash", "embedding_topk", "exact_dedup", "lineitem_agg",
                      "ann_lsh_topk", "decode_rowgroup_pruned"]:
-            timed(name, lambda name=name: q[name](spark, SF_DIR).count(), reps=2)
+            # min-of-3 on every per-query number: single-shot timings on
+            # this host swing 2-3x with tenancy (BASELINE.md), so the
+            # recorded figures must be self-adjudicating
+            timed(name, lambda name=name: q[name](spark, SF_DIR).count(), reps=3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -261,10 +261,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(y, F.col("y.doc_id") == F.col("idb")))
     inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
     uni = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
-    return (joined
-            .select("ida", "idb", inter.cast("int").alias("inter"),
-                    uni.cast("int").alias("uni"))
-            .filter(F.lit(5) * F.col("inter") >= F.col("uni")))
+    out = (joined
+           .select("ida", "idb", inter.cast("int").alias("inter"),
+                   uni.cast("int").alias("uni"))
+           .filter(F.lit(5) * F.col("inter") >= F.col("uni")))
+    # materialize the (tiny) confirmed-pair set, then release the
+    # corpus-sized shingle cache — leaving it persisted leaks memory in
+    # a long-lived session.  The result cache is O(duplicate pairs),
+    # bounded and cheap; callers re-reading it never recompute shingles.
+    out = out.persist()
+    out.count()
+    sh.unpersist()
+    return out
 
 
 def sql_jaccard_pairs(sp: bool) -> str:
