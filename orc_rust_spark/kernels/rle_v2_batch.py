@@ -4,22 +4,26 @@ machine, `src/encoding/integer/rle_v2/mod.rs:255-531`) but ~20x faster.
 
 Strategy (SURVEY §7.3 "vectorizing the run state machine"):
 
-1. **Segmentation** — a cheap Python loop over *maximal runs* (numpy
-   run-length detection) replays the state machine's control flow only,
-   emitting a plan of segments: literal blocks (<=512 values, to be
-   classified by the decision tree) and fixed runs (short-repeat /
-   fixed-delta).  Cost is O(#runs), not O(#values).
+1. **Segmentation** — `_segments_arrays` replays the state machine's
+   control flow fully vectorized (the 0..2-value literal carry between
+   runs is the only sequential dependency; its rare carry-sensitive
+   runs get a scalar fix-up), emitting (kind, start, len) arrays of
+   literal blocks (<=512 values) and fixed runs.
 2. **Vectorized classification** — every literal block's statistics
-   (min/max, saturating adjacent deltas, monotonicity, fixed-delta,
-   zigzag bit-width percentile histograms, base-reduced 95th-percentile
+   (min/max, adjacent-delta min/max incl. monotonicity, fixed-delta,
+   bit-length percentile histograms, base-reduced 95th-percentile
    width) are computed for ALL blocks at once with
-   `np.{minimum,maximum,logical_and}.reduceat` over a gathered value
-   array and a (K,32) `bincount` histogram, reproducing the reference
+   `np.{minimum,maximum}.reduceat` over a mask-gathered value array
+   and (K, max_bits) `bincount` histograms whose percentile stops walk
+   suffix counts in bit space (equivalent to the reference's code-space
+   walk because code(bits) is monotone), reproducing the reference
    decision tree (`mod.rs:422-531`) including its f32 percentile
    truncation (`util.rs:584-610`).
 3. **Emission** — headers and varints per segment (tiny), data payloads
-   bulk-bit-packed: all direct blocks of one byte-aligned width are
-   packed in a single `pack_ints` call and sliced per block.
+   bulk-bit-packed: blocks are argsorted by width, gathered ONCE into
+   width-sorted element order, and each width's contiguous slice packs
+   in a single `pack_ints(_segmented)` call; 255-gap jump patches are
+   split vectorized.
 """
 
 from __future__ import annotations
@@ -33,16 +37,10 @@ from .rle_v2 import (
     BASE_VALUE_LIMIT,
     _HDR_DIRECT,
     _HDR_PATCHED_BASE,
-    _derive_patches,
-    _write_fixed_delta,
-    _write_short_repeat,
-    _write_varying_delta,
 )
 from .util import (
     _ALIGNED_WIDTH_LUT,
-    _DECODE_BIT_WIDTH_LUT,
     _ENCODE_BIT_WIDTH_LUT,
-    _ENCODE_BIT_WIDTH_LUT32,
     _FIXED_BITS_LUT,
     I64,
     I64_MAX,
@@ -50,10 +48,8 @@ from .util import (
     U64,
     bits_used,
     bits_used_scalar,
-    encode_bit_width,
     get_closest_fixed_bits,
     rle_v2_encode_bit_width,
-    signed_msb_encode_scalar,
     zigzag_encode,
 )
 
@@ -148,6 +144,145 @@ def _segments(v: np.ndarray) -> list[tuple[int, int, int]]:
     return segs
 
 
+def _segments_arrays(v: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fully vectorized replay of `_segments` returning (kind, start, len)
+    arrays — byte-order-identical segment plan without the O(#runs)
+    Python loop (on zipf token data ~93k runs/stripe made that loop and
+    its list appends ~40% of encode wall).
+
+    The only sequential dependency in the state machine is the 0..2-value
+    literal *carry* between consecutive runs.  The carry map of run i is
+    constant (independent of carry-in) unless the preceding literal gap
+    modulo 512 lands in {508..511}, where the M-1/M-2 absorb rule kicks
+    in — so the chain is resolved with one vectorized pass plus a scalar
+    fix-up loop over only those rare sensitive runs."""
+    n = len(v)
+    M = MAX_RUN_LENGTH  # 512
+    e = np.empty
+    if n < 3:
+        if n == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z.astype(np.int8), z, z
+        return (np.zeros(1, dtype=np.int8), np.zeros(1, dtype=np.int64),
+                np.array([n], dtype=np.int64))
+    eq = v[1:] == v[:-1]
+    m3 = eq[1:] & eq[:-1]
+    pos = np.nonzero(m3)[0]
+    if not len(pos):
+        # pure literal stream: full-M blocks + remainder
+        k_f = n // M
+        m_f = n % M
+        S = k_f + (1 if m_f else 0)
+        start = np.arange(S, dtype=np.int64) * M
+        slen = np.full(S, M, dtype=np.int64)
+        if m_f:
+            slen[-1] = m_f
+        return np.zeros(S, dtype=np.int8), start, slen
+    brk = np.nonzero(np.diff(pos) > 1)[0]
+    rs = np.concatenate(([pos[0]], pos[brk + 1]))
+    rend = np.concatenate((pos[brk], [pos[-1]])) + 3
+    rlen = rend - rs
+    R = len(rs)
+
+    end_prev = np.concatenate(([0], rend[:-1]))
+    gap = rs - end_prev
+    g = gap % M
+
+    # carry resolution: assume carry-in 0 everywhere, then fix the
+    # sensitive runs (g in 508..511) in order
+    cons = np.zeros(R, dtype=np.int64)
+    cons[g == M - 1] = 1
+    cons[g == M - 2] = 2
+    r0 = (rlen - cons) % M
+    cout = np.where(r0 <= 2, r0, 0)
+    c = np.zeros(R, dtype=np.int64)
+    c[1:] = cout[:-1]
+    c_last = int(cout[-1])
+    for i in np.nonzero(g >= M - 4)[0].tolist():
+        m = (int(g[i]) + int(c[i])) % M
+        ci = 1 if m == M - 1 else 2 if m == M - 2 else 0
+        ri = (int(rlen[i]) - ci) % M
+        co = ri if ri <= 2 else 0
+        cons[i] = ci
+        if i + 1 < R:
+            c[i + 1] = co
+        else:
+            c_last = co
+
+    lit_a = end_prev - c
+    L = gap + c
+    k = L >> 9
+    m = L & (M - 1)
+    # recompute cons from the resolved m (covers non-sensitive g exactly
+    # as before; sensitive rows were fixed above but recomputing is
+    # idempotent since m now includes c)
+    cons = np.zeros(R, dtype=np.int64)
+    cons[m == M - 1] = 1
+    cons[m == M - 2] = 2
+    rem = rlen - cons
+    nfix = rem >> 9
+    r = rem & (M - 1)
+    has_m = m > 0
+    has_tail = r >= 3
+
+    # final literal tail after the last run
+    lit_a_f = int(rend[-1]) - c_last
+    L_f = n - lit_a_f
+    k_f = L_f // M
+    m_f = L_f % M
+
+    nseg = k + has_m + nfix + has_tail
+    base = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(nseg, out=base[1:])
+    S = int(base[-1]) + k_f + (1 if m_f else 0)
+    kind = np.zeros(S, dtype=np.int8)
+    start = e(S, dtype=np.int64)
+    slen = e(S, dtype=np.int64)
+
+    # group 1: k full-M literal blocks per run
+    totk = int(k.sum())
+    if totk:
+        k0 = np.zeros(R, dtype=np.int64)
+        np.cumsum(k[:-1], out=k0[1:])
+        j = np.arange(totk, dtype=np.int64) - np.repeat(k0, k)
+        idx = np.repeat(base[:-1], k) + j
+        start[idx] = np.repeat(lit_a, k) + j * M
+        slen[idx] = M
+    # group 2: remainder literal block (with absorbed run values)
+    mi = np.nonzero(has_m)[0]
+    if len(mi):
+        idx = base[mi] + k[mi]
+        start[idx] = lit_a[mi] + k[mi] * M
+        slen[idx] = m[mi] + cons[mi]
+    # group 3: full-M fixed-run chunks (start is the run start for all)
+    totf = int(nfix.sum())
+    if totf:
+        f0 = np.zeros(R, dtype=np.int64)
+        np.cumsum(nfix[:-1], out=f0[1:])
+        j = np.arange(totf, dtype=np.int64) - np.repeat(f0, nfix)
+        idx = np.repeat(base[:-1] + k + has_m, nfix) + j
+        kind[idx] = 1
+        start[idx] = np.repeat(rs, nfix)
+        slen[idx] = M
+    # group 4: tail fixed run (3..511 values)
+    ti = np.nonzero(has_tail)[0]
+    if len(ti):
+        idx = base[ti] + k[ti] + has_m[ti] + nfix[ti]
+        kind[idx] = 1
+        start[idx] = rend[ti] - r[ti]
+        slen[idx] = r[ti]
+    # final literal tail
+    fbase = int(base[-1])
+    if k_f:
+        j = np.arange(k_f, dtype=np.int64)
+        start[fbase: fbase + k_f] = lit_a_f + j * M
+        slen[fbase: fbase + k_f] = M
+    if m_f:
+        start[S - 1] = lit_a_f + k_f * M
+        slen[S - 1] = m_f
+    return kind, start, slen
+
+
 _EBW_LUT = np.zeros(65, dtype=np.int64)
 for _w in list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]:
     _EBW_LUT[_w] = rle_v2_encode_bit_width(_w)
@@ -218,31 +353,21 @@ def rle_v2_encode_batch(values: np.ndarray, signed: bool = True,
     n = len(v)
     if n == 0:
         return b""
-    segs = _segments(v)
-    S = len(segs)
+    skind, sstart, sslen = _segments_arrays(v)
+    S = len(skind)
     seg_len = np.zeros(S, dtype=np.int64)
 
-    lit_sids: list[int] = []
-    run_sids: list[int] = []
-    run_a: list[int] = []
-    run_ln: list[int] = []
-    for si, (kind, a, ln) in enumerate(segs):
-        if kind == 1:
-            run_sids.append(si)
-            run_a.append(a)
-            run_ln.append(ln)
-        else:
-            lit_sids.append(si)
+    is_run = skind == 1
+    run_sids = np.nonzero(is_run)[0]
+    lit_sids = np.nonzero(~is_run)[0]
 
     writers = []
-    if run_sids:
+    if len(run_sids):
         writers.append(_plan_runs(
-            v, np.array(run_sids, dtype=np.int64),
-            np.array(run_a, dtype=np.int64),
-            np.array(run_ln, dtype=np.int64), seg_len, signed))
-    if lit_sids:
+            v, run_sids, sstart[run_sids], sslen[run_sids], seg_len, signed))
+    if len(lit_sids):
         writers.append(_plan_literals(
-            v, segs, np.array(lit_sids, dtype=np.int64), seg_len, signed,
+            v, sstart[lit_sids], sslen[lit_sids], lit_sids, seg_len, signed,
             width_bits, narrow, interop))
 
     pos = np.zeros(S + 1, dtype=np.int64)
@@ -299,13 +424,26 @@ def _plan_runs(v, sids, r_a, r_ln, seg_len, signed):
     return write
 
 
+def _suffix_counts(hist: np.ndarray) -> np.ndarray:
+    """(K,32) histogram -> suffix sums c[k,i] = sum(hist[k,i:]), int32
+    (block counts are <=512, far inside int32)."""
+    return np.cumsum(hist[:, ::-1], axis=1, dtype=np.int32)[:, ::-1]
+
+
+def _stop_from_suffix(c: np.ndarray, per_len: np.ndarray) -> np.ndarray:
+    """Largest code i with suffix count > per_len (`util.rs:584-610`).
+    Suffix counts are non-increasing in i, so the comparison mask is a
+    prefix — its popcount minus one IS the largest true index.  This
+    replaces the where+max reduction (3 full (K,32) int64 temporaries)
+    with one bool compare and a count."""
+    return np.count_nonzero(c > per_len.astype(np.int32)[:, None],
+                            axis=1) - 1
+
+
 def _percentile_stop(hist: np.ndarray, per_len: np.ndarray) -> np.ndarray:
     """Vectorized walk of `util.rs:584-610`: for each row, largest code i
     with sum(hist[i:]) > per_len."""
-    c = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
-    mask = c > per_len[:, None]
-    ii = np.arange(hist.shape[1], dtype=np.int64)
-    return np.max(np.where(mask, ii, -1), axis=1)
+    return _stop_from_suffix(_suffix_counts(hist), per_len)
 
 
 def _per_len(counts: np.ndarray, percentile: float) -> np.ndarray:
@@ -313,7 +451,7 @@ def _per_len(counts: np.ndarray, percentile: float) -> np.ndarray:
     return (frac * counts.astype(np.float32)).astype(np.int64)
 
 
-def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
+def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
                    narrow=False, interop=False):
     """Classify every literal block (vectorized decision tree,
     `mod.rs:422-531`), compute grouped payload packs and exact emitted
@@ -321,8 +459,6 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     payloads into the shared output buffer — no per-block Python in the
     DIRECT/DELTA/PATCHED hot paths (the per-segment bytes assembly was
     ~19us/segment of pure interpreter time)."""
-    la = np.array([segs[i][1] for i in lit_sids], dtype=np.int64)
-    ll = np.array([segs[i][2] for i in lit_sids], dtype=np.int64)
     K = len(la)
     total = int(ll.sum())
 
@@ -332,13 +468,18 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     # <=512 values, totals < 2^31) — the index/id arrays are pure memory
     # traffic, and DRAM bandwidth is the 32-core scaling ceiling
     seg_of = np.repeat(np.arange(K, dtype=np.int32), ll)
-    # gather by slice-concatenation: ~K small memcpys instead of three
-    # full int64 index arrays (48 MB of traffic per 2M-token stripe)
+    # gather via an interval diff-mask: literal blocks are sorted
+    # non-overlapping [la, la+ll) spans, so +1 at starts / -1 at ends,
+    # int8 cumsum, one boolean gather — ~3 cheap passes instead of K
+    # Python slice objects (~16 ms per 33k-block stripe)
     if K == 1:
         g = np.ascontiguousarray(v[la[0]: la[0] + ll[0]])
     else:
-        g = np.concatenate([v[a: a + ln]
-                            for a, ln in zip(la.tolist(), ll.tolist())])
+        dd = np.zeros(len(v) + 1, dtype=np.int8)
+        dd[la] = 1
+        dd[la + ll] -= 1  # end==next start cancels to 0, as it must
+        mask = np.cumsum(dd[:len(v)], dtype=np.int8).view(np.bool_)
+        g = v[mask]
     if narrow:
         # zigzag in the u32 domain == low 32 bits of the u64 zigzag for
         # values that fit int32; bit widths and packing agree exactly
@@ -380,10 +521,6 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         d[:-1] = raw
     cross = np.concatenate((bnd[1:], np.array([total], dtype=np.int64))) - 1
 
-    d_ge = d >= 0
-    d_le = d <= 0
-    d_ge[cross] = True
-    d_le[cross] = True
     first_delta = d[bnd].astype(I64)
     # neutralize boundary-crossing deltas in place (saving two full
     # copies), restoring d afterwards for the var-delta emission
@@ -394,16 +531,35 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     dmax = np.maximum.reduceat(d, bnd)
     d[cross] = saved_cross
 
-    all_ge = np.logical_and.reduceat(d_ge, bnd)
-    all_le = np.logical_and.reduceat(d_le, bnd)
+    # in-block monotonicity falls straight out of the neutralized
+    # min/max (cross positions are +max for dmin / -min for dmax, so
+    # dmin>=0 <=> every in-block delta >=0) — the two full-length bool
+    # arrays and logical reduceats they replaced were pure traffic
+    all_ge = dmin >= 0
+    all_le = dmax <= 0
 
-    # zigzag bit-width percentile histograms (w90/w100); int32 keys keep
-    # the bincount operand half-width
-    codesg = _ENCODE_BIT_WIDTH_LUT32[bits_used(zzg)]
-    hist = np.bincount(seg_of * np.int32(32) + codesg,
-                       minlength=K * 32).reshape(K, 32)
-    w90 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(hist, _per_len(ll, 0.90))]
-    w100 = _DECODE_BIT_WIDTH_LUT[_percentile_stop(hist, np.zeros(K, dtype=np.int64))]
+    # percentile widths from BIT-LENGTH histograms (w90/w100).  The
+    # reference walks a 32-bucket histogram of encoded width codes;
+    # code(bits) is monotone non-decreasing, so the percentile stop in
+    # code space equals the stop in bit space mapped through
+    # closest-fixed-bits — which skips the full-length code-LUT gather
+    # entirely (one fewer pass over every element, here and in the
+    # patched-base histogram below).
+    if narrow and int(zmax.max()) < (1 << 24):
+        # float32 frexp is bit-exact below 2^24 significant bits —
+        # halves the float-conversion traffic of the bit-length pass
+        bug = np.frexp(zzg.astype(np.float32))[1]
+    else:
+        bug = bits_used(zzg)
+    # histogram width driven by the data's actual max bit length (~18
+    # for zipf tokens instead of 33/65): smaller bincount target and
+    # suffix matrix
+    ncols = int(bug.max()) + 1 if len(bug) else 1
+    hist = np.bincount(seg_of * np.int32(ncols) + bug.astype(np.int32),
+                       minlength=K * ncols).reshape(K, ncols)
+    sfx = _suffix_counts(hist)
+    w90 = _FIXED_BITS_LUT[_stop_from_suffix(sfx, _per_len(ll, 0.90))]
+    w100 = _FIXED_BITS_LUT[_stop_from_suffix(sfx, np.zeros(K, dtype=np.int64))]
 
     # decision tree (`mod.rs:422-531`)
     range_u = vmax.astype(U64) - vmin.astype(U64)
@@ -424,12 +580,9 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
     cat[is_fixed] = _CAT_FIXED_DELTA
     cat[monotonic] = _CAT_VAR_DELTA
 
-    # ---- patched-base derivation (vectorized; 255-gap jump blocks take
-    # the scalar reference walk) ----
+    # ---- patched-base derivation (fully vectorized, incl. 255-gap
+    # jump splitting) ----
     brl_95 = np.zeros(K, dtype=np.int64)
-    # per-block-k patch state (arrays; the dict holds only the rare
-    # jump-patch blocks that took the scalar reference walk)
-    pb_patch: dict[int, np.ndarray] = {}    # k -> packed patch words (jump)
     pb_pgw = np.zeros(K, dtype=np.int64)    # patch gap width per k
     pb_nplen = np.zeros(K, dtype=np.int64)  # patch count per k
     pb_pbw = np.zeros(K, dtype=np.int64)    # patch bits width per k
@@ -448,11 +601,15 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
             brl_vals = g.astype(np.uint32) - vmin.astype(np.uint32)[seg_of]
         else:
             brl_vals = g.astype(I64) - vmin[seg_of]
-        pcodes = _ENCODE_BIT_WIDTH_LUT32[bits_used(
-            brl_vals if narrow else brl_vals.astype(U64))]
-        phist = np.bincount(seg_of * np.int32(32) + pcodes,
-                            minlength=K * 32).reshape(K, 32)
-        p95_k = _DECODE_BIT_WIDTH_LUT[_percentile_stop(phist, _per_len(ll, 0.95))]
+        if narrow and int(range_u.max()) < (1 << 24):
+            pbits = np.frexp(brl_vals.astype(np.float32))[1]
+        else:
+            pbits = bits_used(brl_vals if narrow else brl_vals.astype(U64))
+        pcols = int(pbits.max()) + 1 if len(pbits) else 1
+        phist = np.bincount(seg_of * np.int32(pcols)
+                            + pbits.astype(np.int32),
+                            minlength=K * pcols).reshape(K, pcols)
+        p95_k = _FIXED_BITS_LUT[_percentile_stop(phist, _per_len(ll, 0.95))]
         brl_100_k = _ALIGNED_WIDTH_LUT[bits_used(range_u)]
         is_patched_k = pc & (brl_100_k != p95_k)
         cat[is_patched_k] = _CAT_PATCHED
@@ -469,71 +626,87 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         thr = np.full(K, 64, dtype=np.int64)  # non-patched: mask everything
         thr[jj] = t95_k[jj]
         if narrow:
-            # u32 brl domain: t95 < brl_100 <= 32, so thresholds fit;
-            # non-patched rows use the all-ones mask (never exceeded)
             brl_u = brl_vals  # uint32, base-reduced, non-negative
-            blk_mask = np.where(thr >= 32, np.uint32(0xFFFFFFFF),
-                                (np.uint32(1)
-                                 << np.minimum(thr, 31).astype(np.uint32))
-                                - np.uint32(1))
         else:
             brl_u = brl_vals.view(U64)
-            blk_mask = np.where(thr >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
-                                (U64(1) << np.minimum(thr, 63).astype(U64))
-                                - U64(1))
-        elem_mask = blk_mask[seg_of]
-        pidx = np.nonzero(brl_u > elem_mask)[0]
+        # a value needs a patch exactly when its bit length exceeds the
+        # block's t95 threshold — reuse the per-element bit lengths
+        # already computed for the histogram instead of building and
+        # gathering full-width value masks
+        pidx = np.nonzero(pbits > thr.astype(pbits.dtype)[seg_of])[0]
         pb_ = seg_of[pidx]
         rel = pidx - bnd[pb_]
         gap = rel.copy()
         same = np.zeros(len(pidx), dtype=bool)
         same[1:] = pb_[1:] == pb_[:-1]
         gap[same] = rel[same] - rel[np.nonzero(same)[0] - 1]
-        jump_blocks = np.unique(pb_[gap > 255])
-        vec_el = ~np.isin(pb_, jump_blocks)
-        vp, vpb = pidx[vec_el], pb_[vec_el]
-        pval = brl_u[vp].astype(U64) >> thr.astype(U64)[vpb]
-        brl_u[vp] &= elem_mask[vp]  # strip high bits in place (vec blocks)
-        vgap = gap[vec_el]
-        words = pval | (vgap.astype(U64) << pbw_k.astype(U64)[vpb])
-        # per-block slices over the (sorted) vpb — K-domain block ids
-        vb_ids = np.unique(vpb)
-        b0 = np.searchsorted(vpb, vb_ids)
-        b1 = np.append(b0[1:], len(vpb))
-        gmax = np.maximum.reduceat(vgap, b0) if len(vb_ids) else \
-            np.empty(0, dtype=np.int64)
+        pbw_e = pbw_k.astype(U64)[pb_]
+        thr_p = thr[pb_].astype(U64)
+        pval = brl_u[pidx].astype(U64) >> thr_p
+        # strip high bits in place (sparse: only at patch positions)
+        if narrow:
+            brl_u[pidx] &= ((np.uint32(1) << thr_p.astype(np.uint32))
+                            - np.uint32(1))
+        else:
+            brl_u[pidx] &= (U64(1) << thr_p) - U64(1)
+        # 255-gap jump splitting, vectorized for ALL blocks (replaces
+        # the per-block scalar reference walk — ~1.2k such blocks per
+        # token stripe): gap 256..510 emits one (255, 0) marker word
+        # before the patch, gap == 511 emits two, and the real patch
+        # carries the remainder gap (`rle_v2._derive_patches`,
+        # `patched_base.rs:150-217`)
+        n_jump = (gap > 255).astype(np.int64)
+        is511 = gap == 511
+        n_jump[is511] = 2
+        rem_gap = gap - 255 * n_jump
+        rem_gap[is511] = 1
+        if len(gap) and int(n_jump.max()) > 0:
+            counts_e = n_jump + 1
+            words = np.repeat(U64(255) << pbw_e, counts_e)
+            words[np.cumsum(counts_e) - 1] = \
+                pval | (rem_gap.astype(U64) << pbw_e)
+        else:
+            counts_e = None
+            words = pval | (rem_gap.astype(U64) << pbw_e)
+        # per-block slices over the (sorted) pb_ — K-domain block ids
+        vb_ids = np.unique(pb_)
+        b0 = np.searchsorted(pb_, vb_ids)
+        b1 = np.append(b0[1:], len(pb_))
+        if len(vb_ids):
+            gmax = np.maximum.reduceat(
+                np.where(n_jump > 0, 255, rem_gap), b0)
+            plens_vec = np.add.reduceat(counts_e, b0) \
+                if counts_e is not None else b1 - b0
+        else:
+            gmax = np.empty(0, dtype=np.int64)
+            plens_vec = np.empty(0, dtype=np.int64)
         pgw_vec = np.maximum(bits_used(gmax.astype(U64)), 1)
-        plens_vec = b1 - b0
         # the 95th-percentile stop bounds outliers to <=5% of a
-        # <=512-value block (<=25 patches); if that invariant ever
-        # breaks, fail loudly instead of ORing the count into the
-        # 5-bit pl field and silently corrupting the gap-width bits
-        assert int(plens_vec.max(initial=0)) <= 31, \
+        # <=512-value block (<=25 patches), and gaps sum to <=511 so at
+        # most one can exceed 255 (<=2 marker words): <=27 total.  The
+        # f32 percentile truncation can still construct overflows;
+        # interop output re-routes those blocks to DIRECT (external ORC
+        # readers reject pl fields outside 1..31, `patched_base.rs:262`
+        # writes unguarded), otherwise fail loudly instead of ORing the
+        # count into the 5-bit pl field and silently corrupting output.
+        overfull = plens_vec > 31
+        assert interop or not overfull.any(), \
             "patched-base patch count overflows 5-bit field"
-        kk_vec = vb_ids
-        pb_pgw[kk_vec] = pgw_vec
-        pb_nplen[kk_vec] = plens_vec
-        pb_pbw[kk_vec] = pbw_k[kk_vec]
-        pb_t95[kk_vec] = t95_k[kk_vec]
-
-        # blocks not covered by the vectorized pass: 255-gap jump blocks
-        # (scalar reference walk, rare)
-        for k in np.setdiff1d(jj, vb_ids):
-            k = int(k)
-            ln = int(ll[k])
-            patch_bits_width = int(pbw_k[k])
-            brl_95p = int(t95_k[k])
-            brl = brl_vals[bnd[k]: bnd[k] + ln]
-            plist, patch_gap_width = _derive_patches(
-                brl, patch_bits_width, brl_95p)
-            patches = np.array(plist, dtype=U64)
-            if interop and not 1 <= len(patches) <= 31:
-                # the reference encoder (patched_base.rs:262) writes
-                # patches.len() into a 5-bit field unguarded; 0 or >31
-                # produces a header external ORC readers reject (Java:
-                # "Corrupt PATCHED_BASE (pl==0)").  Our own decoder
-                # round-trips it, but interop output re-routes the block
-                # to DIRECT at the 100p width instead.
+        # defaults for patched blocks whose p95 mask covers every value
+        # (no patch elements): pl=0, gap width 1 — our decoder reads
+        # them fine, but external readers reject pl==0, so interop
+        # re-routes them to DIRECT below (with the >31 overflows)
+        pb_pgw[jj] = 1
+        pb_pbw[jj] = pbw_k[jj]
+        pb_t95[jj] = t95_k[jj]
+        pb_pgw[vb_ids] = pgw_vec
+        pb_nplen[vb_ids] = plens_vec
+        if interop:
+            reroute = np.concatenate(
+                (vb_ids[overfull], np.setdiff1d(jj, vb_ids)))
+            for k in reroute.tolist():
+                k = int(k)
+                ln = int(ll[k])
                 w = int(_ALIGNED_WIDTH_LUT[bits_used_scalar(int(zmax[k]))])
                 cat[k] = _CAT_DIRECT
                 ebw = rle_v2_encode_bit_width(w)
@@ -542,14 +715,6 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
                     (_HDR_DIRECT | (ebw << 1) | (el >> 8), el & 0xFF)) + \
                     pack_ints(np.ascontiguousarray(
                         zzg[bnd[k]: bnd[k] + ln]).astype(U64, copy=False), w)
-                continue
-            assert len(patches) <= 31, \
-                f"patched-base patch count {len(patches)} overflows 5-bit field"
-            pb_patch[k] = patches
-            pb_pgw[k] = patch_gap_width
-            pb_nplen[k] = len(patches)
-            pb_pbw[k] = patch_bits_width
-            pb_t95[k] = brl_95p
 
     patched = (cat == _CAT_PATCHED)
     pk = np.nonzero(patched)[0]
@@ -574,20 +739,37 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
         hdr[:, 0] = (_HDR_DIRECT | (_EBW_LUT[dw] << 1) | (el >> 8)).astype(np.uint8)
         hdr[:, 1] = (el & 0xFF).astype(np.uint8)
         groups_rows.append((dks, hdr, None))
-        for w in np.unique(dw):
-            w = int(w)
-            sel = direct & (dwidth == w)
-            vals = zzg[sel[seg_of]]
-            ks = np.nonzero(sel)[0]
+        # ONE gather into width-sorted element order, then contiguous
+        # per-width slices — the per-width boolean rebuild scanned the
+        # full element set once per distinct width
+        order = np.argsort(dw, kind="stable")
+        oks = dks[order]
+        e_ll = ll[oks]
+        tote = int(e_ll.sum())
+        pst = np.zeros(len(oks), dtype=np.int32)
+        np.cumsum(e_ll[:-1].astype(np.int32), out=pst[1:])
+        eidx = (np.repeat(bnd[oks].astype(np.int32), e_ll)
+                + (np.arange(tote, dtype=np.int32) - np.repeat(pst, e_ll)))
+        zz_sorted = zzg[eidx]
+        ecum = np.zeros(len(oks) + 1, dtype=np.int64)
+        np.cumsum(e_ll, out=ecum[1:])
+        dw_sorted = dw[order]
+        g0 = 0
+        while g0 < len(oks):
+            w = int(dw_sorted[g0])
+            g1 = int(np.searchsorted(dw_sorted, w, side="right"))
+            vals = zz_sorted[ecum[g0]: ecum[g1]]
+            ks = oks[g0:g1]
             if w % 8 == 0:
                 blob = np.frombuffer(pack_ints(vals, w), dtype=np.uint8)
                 plens = ll[ks] * (w // 8)
             else:
-                raw, offs = pack_ints_segmented(vals, ll[ks], w)
+                raw, offs = pack_ints_segmented(vals, e_ll[g0:g1], w)
                 blob = np.frombuffer(raw, dtype=np.uint8)
                 plens = np.diff(offs)
             groups_payload.append((ks, np.full(len(ks), 2, dtype=np.int64),
                                    blob, plens))
+            g0 = g1
 
     # fixed-delta + varying-delta literal blocks share the header+varint
     # matrix layout: [h0, h1, varint(base), varint(first_delta), ...]
@@ -725,10 +907,8 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
                                    np.diff(offs)))
             g0 = g1
 
-        # patch lists grouped by patch word width.  Vectorized blocks'
-        # words are already concatenated in vb order; jump blocks come
-        # from the (small) scalar dict — each gets its own payload group,
-        # so no per-block Python touches the hot path
+        # patch lists grouped by patch word width; every block's words
+        # (incl. jump markers) sit concatenated in pb_ order
         posk = np.zeros(K, dtype=np.int64)
         posk[pk] = np.arange(len(pk), dtype=np.int64)
         if len(vb_ids):
@@ -741,21 +921,6 @@ def _plan_literals(v, segs, lit_sids, seg_len, signed, width_bits,
                 vals = words[np.repeat(sel, plens_vec)]
                 raw, offs = pack_ints_segmented(vals, plens_vec[sel], w)
                 ks = kk[sel]
-                groups_payload.append(
-                    (ks, head_len[posk[ks]] + brl_plen[posk[ks]],
-                     np.frombuffer(raw, dtype=np.uint8), np.diff(offs)))
-        if pb_patch:
-            jks = np.array(sorted(pb_patch), dtype=np.int64)
-            jpw = _FIXED_BITS_LUT[pb_pgw[jks] + pb_pbw[jks]]
-            for w in np.unique(jpw):
-                w = int(w)
-                gsel = np.nonzero(jpw == w)[0]
-                vals = np.concatenate(
-                    [pb_patch[int(k)].astype(U64, copy=False)
-                     for k in jks[gsel]])
-                raw, offs = pack_ints_segmented(
-                    vals, pb_nplen[jks[gsel]], w)
-                ks = jks[gsel]
                 groups_payload.append(
                     (ks, head_len[posk[ks]] + brl_plen[posk[ks]],
                      np.frombuffer(raw, dtype=np.uint8), np.diff(offs)))
