@@ -169,3 +169,34 @@ def test_fsst_escaped_0xff_literals():
     for blob in [bytes(raw), b"a\xff" * 7 + b"irregular \xff\xff\xff tail",
                  b"\xff" + b"word " * 300 + b"\xff\xff"]:
         assert fsst_decompress(fsst_compress(blob)) == blob
+
+
+def test_frontier_parse_identical_to_sequential():
+    """The lockstep frontier parse (pass A speculation + pass B resync)
+    must reproduce the single-chain greedy parse byte-for-byte."""
+    from orc_rust_spark.kernels import fsst as F
+
+    rng = np.random.default_rng(17)
+    text = (b"the quick brown fox jumps over the lazy dog " * 4000
+            + bytes(rng.integers(0, 256, 20000).astype(np.uint8)))
+    data = np.frombuffer(text, dtype=np.uint8)
+    tbl = F.train(data)
+    seq = F._parse(data, tbl)
+    for seg in (256, 512, 1000):
+        old = F._SEG
+        try:
+            F._SEG = seg
+            assert np.array_equal(F._parse_frontier(data, tbl), seq)
+        finally:
+            F._SEG = old
+
+
+def test_frontier_parse_escape_heavy():
+    from orc_rust_spark.kernels import fsst as F
+
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 256, 200000).astype(np.uint8)
+    tbl = F.train(data)
+    assert np.array_equal(F._parse(data, tbl), F._parse_frontier(data, tbl))
+    comp = F.fsst_compress_with(data, tbl)
+    assert F.fsst_decompress(comp) == data.tobytes()
