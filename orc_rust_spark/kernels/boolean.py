@@ -35,12 +35,16 @@ class BitSpan:
     row-group reads."""
 
     def __init__(self, buf, skip_bytes: int = 0, skip_bits: int = 0,
-                 compression: int = 0, block_size: int = 256 * 1024):
+                 compression: int = 0, block_size: int = 256 * 1024,
+                 pre_skip: int = 0):
         self.buf = buf
         self.skip_bytes = skip_bytes
         self.skip_bits = skip_bits
         self.compression = compression
         self.block_size = block_size
+        # decompressed bytes to drop before byte-RLE decoding — the
+        # in-chunk offset of a compressed stream's row-index position
+        self.pre_skip = pre_skip
 
 
 def boolean_encode_with_marks(values: np.ndarray, mark_bits) -> tuple[bytes, list]:
@@ -85,7 +89,10 @@ def boolean_decode(buf, n: int) -> np.ndarray:
             # segments; if the read still spans more, fall back to full
             # decompression below.
             raw = decompress_stream(raw, buf.compression, buf.block_size,
-                                    max_bytes=nbytes + nbytes // 128 + 16)
+                                    max_bytes=buf.pre_skip + nbytes
+                                    + nbytes // 128 + 16)
+        if buf.pre_skip:
+            raw = memoryview(raw)[buf.pre_skip:]
         try:
             packed = byte_rle_decode(raw, nbytes, exact=False)
         except IndexError:
@@ -93,7 +100,8 @@ def boolean_decode(buf, n: int) -> np.ndarray:
                 raise
             raw = decompress_stream(buf.buf, buf.compression,
                                     buf.block_size)
-            packed = byte_rle_decode(raw, nbytes, exact=False)
+            packed = byte_rle_decode(memoryview(raw)[buf.pre_skip:],
+                                     nbytes, exact=False)
         return np.unpackbits(packed[buf.skip_bytes:])[
             buf.skip_bits: buf.skip_bits + n].astype(bool)
     nbytes = (n + 7) // 8

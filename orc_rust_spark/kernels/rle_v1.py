@@ -82,9 +82,12 @@ def rle_v1_encode(values: np.ndarray, signed: bool = True) -> bytes:
     return bytes(out)
 
 
-def rle_v1_decode(buf, n: int, signed: bool = True) -> np.ndarray:
+def rle_v1_decode(buf, n: int, signed: bool = True,
+                  exact: bool = True) -> np.ndarray:
     buf = memoryview(buf)
-    out = np.empty(n, dtype=np.int64)
+    # +130 slack: with exact=False the final run may overshoot n (a
+    # row-group slice of an externally written stream ends mid-run)
+    out = np.empty(n + 130, dtype=np.int64)
     got = 0
     pos = 0
     while got < n:
@@ -105,6 +108,6 @@ def rle_v1_decode(buf, n: int, signed: bool = True) -> np.ndarray:
             base, pos = read_varint_zigzagged(buf, pos, signed)
             out[got : got + length] = base + delta * np.arange(length, dtype=np.int64)
             got += length
-    if got != n:
+    if exact and got != n:
         raise ValueError(f"RLEv1 decoded {got}, expected {n}")
-    return out
+    return out[:n]

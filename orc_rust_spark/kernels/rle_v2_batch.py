@@ -1004,16 +1004,22 @@ def _varint_values(pad: np.ndarray, q: np.ndarray,
     return out
 
 
-def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
+def rle_v2_decode_batch(buf, n: int, signed: bool = True,
+                        exact: bool = True) -> np.ndarray:
     """Sequential header scan (cheap per block: only sizes advance it —
     all per-block VALUE parsing is deferred to vectorized post-passes
     over the recorded positions; a fully speculative vectorized scan
-    was tried and lost, see git history)."""
+    was tried and lost, see git history).
+
+    ``exact=False`` tolerates the final block overshooting n (a
+    row-group slice of an externally written stream ends mid-block);
+    the result is truncated to n."""
     if n == 0:
         return np.empty(0, dtype=I64)
     buf = memoryview(buf)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    out = np.empty(n, dtype=I64)
+    # +512 slack: one RLEv2 block holds at most 512 values
+    out = np.empty(n + 512, dtype=I64)
 
     # per-kind accumulators (positions only; values extracted later)
     sr_off: list[int] = []
@@ -1122,7 +1128,7 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
             pb_paw.append(patch_w)
             pos += base_bw + data_nb + patch_nb
             got += length
-    if got != n:
+    if exact and got != n:
         raise ValueError(f"decoded {got} values, expected {n}")
 
     pad = None
@@ -1272,4 +1278,4 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True) -> np.ndarray:
             vals = (data_u + bases_e).view(I64)
             _scatter(out, off_p[sel].tolist(), lens_a.tolist(), vals)
             g0 = g1
-    return out
+    return out[:n]

@@ -34,13 +34,20 @@ ORC_TS_BASE_SECONDS = 1_420_070_400
 
 def timestamp_decode(data_stream, secondary_stream, n: int,
                      base_seconds: int = ORC_TS_BASE_SECONDS,
-                     rle_version: int = 2) -> np.ndarray:
+                     rle_version: int = 2,
+                     skip_data: int = 0,
+                     skip_secondary: int = 0,
+                     exact: bool = True) -> np.ndarray:
     """Decode the two-stream timestamp encoding to int64 nanoseconds
     since the unix epoch (vectorized).  `rle_version=1` decodes the
-    seconds/nanos streams with RLEv1 (ORC v0.11 files)."""
+    seconds/nanos streams with RLEv1 (ORC v0.11 files).  The skips
+    implement the row-index mid-run seek (decode-and-discard of the
+    leading values of the run each stream's position points into)."""
     _dec = rle_v2_decode if rle_version == 2 else _rle_v1_decode
-    seconds = _dec(data_stream, n, signed=True) + np.int64(base_seconds)
-    raw = _dec(secondary_stream, n, signed=False)
+    seconds = _dec(data_stream, n + skip_data, signed=True,
+                   exact=exact)[skip_data:] + np.int64(base_seconds)
+    raw = _dec(secondary_stream, n + skip_secondary, signed=False,
+               exact=exact)[skip_secondary:]
     zeros = (raw & np.int64(7)).astype(np.int64)
     base = (raw >> np.int64(3)).astype(np.int64)
     scale = np.power(10, np.where(zeros != 0, zeros + 1, 0)).astype(np.int64)
@@ -138,9 +145,12 @@ def decimal_encode(mantissas, scale: int) -> tuple[bytes, bytes]:
 
 
 def decimal_decode(data_stream, secondary_stream, n: int,
-                   target_scale: int, rle_version: int = 2) -> list[int]:
+                   target_scale: int, rle_version: int = 2,
+                   skip_secondary: int = 0, exact: bool = True) -> list[int]:
     """Decode varint mantissas + per-value scales, rescaled to
-    `target_scale` (returns unscaled int mantissas; exact py-int math)."""
+    `target_scale` (returns unscaled int mantissas; exact py-int math).
+    The DATA stream seeks by byte offset (varints have no runs);
+    `skip_secondary` is the scale stream's mid-run seek."""
     buf = memoryview(data_stream)
     pos = 0
     mantissas: list[int] = []
@@ -148,7 +158,8 @@ def decimal_decode(data_stream, secondary_stream, n: int,
         v, pos = read_varint_zigzagged(buf, pos, True)
         mantissas.append(v)
     _dec = rle_v2_decode if rle_version == 2 else _rle_v1_decode
-    scales = _dec(secondary_stream, n, signed=True)
+    scales = _dec(secondary_stream, n + skip_secondary, signed=True,
+                  exact=exact)[skip_secondary:]
     out: list[int] = []
     for m, s in zip(mantissas, scales.tolist()):
         d = target_scale - s

@@ -20,6 +20,28 @@ _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 I64_MIN = -(1 << 63)
 I64_MAX = (1 << 63) - 1
 
+class ValueSpan:
+    """An RLE stream positioned mid-run, as ORC row-index positions
+    describe it: `buf` starts at a run-boundary byte offset and the
+    first `skip` decoded values belong to the previous row group — the
+    reference's decoder `skip(n)` seek contract
+    (`src/encoding/mod.rs:54-55`).  Decoders decode ``skip + n`` values
+    and discard the prefix (a skip is bounded by one run: <=512 values
+    for RLEv2, <=130 for byte-RLE)."""
+
+    __slots__ = ("buf", "skip")
+
+    def __init__(self, buf, skip: int):
+        self.buf = buf
+        self.skip = skip
+
+
+def unwrap_span(buf) -> tuple[object, int]:
+    if isinstance(buf, ValueSpan):
+        return buf.buf, buf.skip
+    return buf, 0
+
+
 # ---------------------------------------------------------------------------
 # bits_used — reference `mod.rs:124-126`: BYTE_SIZE*8 - leading_zeros
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from ..kernels.float_codec import float_decode
 from ..kernels.rle_v1 import rle_v1_decode
 from ..kernels.rle_v2 import rle_v2_decode
 from ..kernels.timestamp_decimal import decimal_decode, timestamp_decode
-from ..kernels.util import read_varint
+from ..kernels.util import ValueSpan, read_varint, unwrap_span
 
 from .orc_format import (  # noqa: F401  (shared spec enums)
     ENC_DICT,
@@ -381,9 +381,22 @@ def _tz_to_utc_ns(decoded_ns: np.ndarray, tz_name: str) -> np.ndarray:
 
 
 def _ints(buf, n: int, enc: int, signed: bool) -> np.ndarray:
-    if enc in (ENC_DIRECT_V2, ENC_DICT_V2):
-        return rle_v2_decode(buf, n, signed=signed)
-    return rle_v1_decode(buf, n, signed=signed)
+    # a ValueSpan marks a row-group slice of an externally written
+    # stream: decode-and-discard its leading in-run values, and let the
+    # final run overshoot (group ends need not align with runs)
+    span = isinstance(buf, ValueSpan)
+    buf, skip = unwrap_span(buf)
+    dec = rle_v2_decode if enc in (ENC_DIRECT_V2, ENC_DICT_V2) \
+        else rle_v1_decode
+    vals = dec(buf, n + skip, signed=signed, exact=not span)
+    return vals[skip:] if skip else vals
+
+
+def _byte_rle(buf, n: int) -> np.ndarray:
+    span = isinstance(buf, ValueSpan)
+    buf, skip = unwrap_span(buf)
+    vals = byte_rle_decode(buf, n + skip, exact=not span)
+    return vals[skip:] if skip else vals
 
 
 def _decimal_ps(t: dict) -> tuple[int, int]:
@@ -463,7 +476,7 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         v, m = _respace(vals, validity, n)
         return pa.array(v, pa.bool_(), mask=m)
     if kind == TK_BYTE:
-        vals = byte_rle_decode(data(), n_valid).view(np.int8)
+        vals = _byte_rle(data(), n_valid).view(np.int8)
         v, m = _respace(vals, validity, n)
         return pa.array(v, pa.int8(), mask=m)
     if kind in (TK_SHORT, TK_INT, TK_LONG, TK_DATE):
@@ -521,9 +534,13 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         return vals_arr.take(pa.array(take_idx, pa.int64(), mask=~validity))
     if kind == TK_DECIMAL:
         prec, scale = _decimal_ps(t)
-        mant = decimal_decode(data(), data(K_SECONDARY), n_valid, scale,
+        s_raw = data(K_SECONDARY)
+        tol = isinstance(s_raw, ValueSpan)
+        sbuf, sskip = unwrap_span(s_raw)
+        mant = decimal_decode(data(), sbuf, n_valid, scale,
                               rle_version=2 if enc in (ENC_DIRECT_V2,
-                                                       ENC_DICT_V2) else 1)
+                                                       ENC_DICT_V2) else 1,
+                              skip_secondary=sskip, exact=not tol)
         at = pa.decimal128(prec, scale)
         try:
             # int64 fast path: lo word + sign-extended hi word
@@ -549,7 +566,7 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         # PRESENT stream, null slots carry tag 0 and stay null in child
         # 0 — arrow unions have no top-level validity, so nullability
         # lives in the children (the reference does the same)
-        tags_dense = byte_rle_decode(data(), n_valid).view(np.int8)
+        tags_dense = _byte_rle(data(), n_valid).view(np.int8)
         if validity is None:
             tags = tags_dense
         else:
@@ -569,9 +586,15 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
                                                 mask=idx < 0)))
         return pa.UnionArray.from_sparse(pa.array(tags, pa.int8()), children)
     if kind in (TK_TIMESTAMP, TK_TIMESTAMP_INSTANT):
-        ns = timestamp_decode(data(), data(K_SECONDARY), n_valid,
+        d_raw, s_raw = data(), data(K_SECONDARY)
+        tol = isinstance(d_raw, ValueSpan) or isinstance(s_raw, ValueSpan)
+        dbuf, dskip = unwrap_span(d_raw)
+        sbuf, sskip = unwrap_span(s_raw)
+        ns = timestamp_decode(dbuf, sbuf, n_valid,
                               rle_version=2 if enc in (ENC_DIRECT_V2,
-                                                       ENC_DICT_V2) else 1)
+                                                       ENC_DICT_V2) else 1,
+                              skip_data=dskip, skip_secondary=sskip,
+                              exact=not tol)
         if kind == TK_TIMESTAMP and writer_tz is not None:
             ns = _tz_to_utc_ns(ns, writer_tz)
         v, m = _respace(ns, validity, n)
@@ -774,25 +797,37 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
     if any(cid not in ridx_all or len(ridx_all[cid]) != n_groups
            for cid in layouts):
         return None
-    # EVERY group's positions must be clean: zero in-chunk and in-run
-    # offsets (a group's end boundary is the NEXT group's start, so one
-    # unclean entry anywhere breaks exact slicing).  Bit streams are the
-    # exception our writer produces: their runs/chunks flush at group
-    # BYTE boundaries, so only the final bit-offset entry may be
-    # nonzero.  Anything else (a writer that did not flush) falls back.
+    # positions may carry nonzero in-chunk and in-run offsets (writers
+    # that do not flush encoders at group boundaries — Java/C++/pyarrow
+    # do not): the slice starts at the recorded run/chunk boundary and
+    # the decoders seek the rest (decompressed-byte pre-skip +
+    # decode-and-discard of the leading in-run values, the reference's
+    # `skip(n)` contract, `src/encoding/mod.rs:54-55`).  Only a
+    # too-short position tuple falls back to whole-stripe decode.
     for cid, lay in layouts.items():
         width = sum(lead + extra for _, lead, extra, _b in lay)
         for positions, _ in ridx_all[cid]:
             if len(positions) < width:
                 return None
-            i = 0
-            for kind, lead, extra, is_bit in lay:
-                if lead == 2 and positions[i + 1] != 0:
-                    return None
-                n_zero = extra - 1 if is_bit else extra
-                if any(positions[i + lead + j] != 0 for j in range(n_zero)):
-                    return None
-                i += lead + extra
+
+    # one RLE run spans at most ~4.2 KiB of stream bytes (512 values x
+    # 8 bytes + headers), so a group whose successor starts mid-run
+    # needs at most that much past the successor's start offset
+    _RUN_TAIL = 8192
+
+    def _chunk_extended_end(span, nstart: int, target: int) -> int:
+        """Extend a compressed slice past the next group's chunk start
+        by whole chunks until ~`target` decompressed bytes are covered
+        (chunk lengths parsed from the 3-byte headers)."""
+        end = nstart
+        while target > 0 and end + 3 <= span[1]:
+            hdr = int.from_bytes(data[span[0] + end: span[0] + end + 3],
+                                 "little")
+            clen = hdr >> 1
+            end += 3 + clen
+            target -= max(clen, 1)
+        return min(end, span[1])
+
     from ..kernels.boolean import BitSpan
     tables = []
     for g in keep:
@@ -805,23 +840,47 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
             for kind, lead, extra, is_bit in lay:
                 span = spans[(cid, kind)]
                 start = pos_g[i]
+                chunk_skip = pos_g[i + 1] if lead == 2 else 0
                 if is_bit:
-                    # the group's first bits may share a byte with the
-                    # previous group: slice from the marked run start to
-                    # stream end and skip bit_off bits; decompression is
-                    # LAZY and bounded inside boolean_decode, so only the
-                    # chunks this group's bits need are inflated
+                    # the group's first bits may share a byte (and run,
+                    # and chunk) with the previous group: slice from the
+                    # marked run start to stream end; decompression is
+                    # LAZY and bounded inside boolean_decode, so only
+                    # the chunks this group's bits need are inflated
                     raw = data[span[0] + start: span[0] + span[1]]
                     streams[(cid, kind)] = BitSpan(
-                        raw, 0, pos_g[i + lead + extra - 1],
-                        meta.compression, meta.block_size)
+                        raw, pos_g[i + lead], pos_g[i + lead + 1],
+                        meta.compression, meta.block_size,
+                        pre_skip=chunk_skip)
                 else:
-                    end = pos_n[i] if pos_n is not None else span[1]
+                    vskip = pos_g[i + lead] if extra else 0
+                    if pos_n is None:
+                        end = span[1]
+                    else:
+                        nstart = pos_n[i]
+                        n_chunk_skip = pos_n[i + 1] if lead == 2 else 0
+                        n_vskip = pos_n[i + lead] if extra else 0
+                        if meta.compression:
+                            target = n_chunk_skip \
+                                + (_RUN_TAIL if n_vskip else 0)
+                            end = _chunk_extended_end(span, nstart, target) \
+                                if target else nstart
+                        else:
+                            end = min(nstart
+                                      + (_RUN_TAIL if n_vskip else 0),
+                                      span[1])
                     raw = data[span[0] + start: span[0] + end]
                     if meta.compression:
                         raw = decompress_stream(raw, meta.compression,
                                                 meta.block_size)
-                    streams[(cid, kind)] = raw
+                    if chunk_skip:
+                        raw = memoryview(raw)[chunk_skip:]
+                    # RLE streams always travel as ValueSpan here: the
+                    # group's END need not align with a run boundary
+                    # either, so the decoder must tolerate the final
+                    # run overshooting (truncate, don't raise)
+                    streams[(cid, kind)] = ValueSpan(raw, vskip) if extra \
+                        else raw
                 i += lead + extra
         rows_g = min(stride, n - g * stride)
         if _stats is not None:
