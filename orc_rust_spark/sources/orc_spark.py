@@ -128,9 +128,16 @@ ORC_MANIFEST_SCHEMA = T.StructType([
 
 def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
                     stripe_rows: int = 65536,
-                    row_index_stride: int = 0) -> DataFrame:
+                    row_index_stride: int = 0,
+                    stripe_bytes: int = 64 << 20) -> DataFrame:
     """Write a DataFrame as one `.orc` file per partition; returns the
-    manifest DataFrame (materialize it to run the write)."""
+    manifest DataFrame (materialize it to run the write).
+
+    Stripes flush at whichever of two budgets hits first: `stripe_rows`
+    or a `stripe_bytes` (default 64 MiB, `src/arrow_writer.rs:111-122`
+    / `src/memory.rs:18-23`) estimate from the Arrow buffer sizes — so
+    wide-schema rows cannot balloon a stripe past executor memory
+    without the caller hand-sizing `stripe_rows`."""
     os.makedirs(out_dir, exist_ok=True)
     run_id = uuid.uuid4().hex[:8]
 
@@ -143,13 +150,19 @@ def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
         n = 0
         pending: list[pa.RecordBatch] = []
         pending_rows = 0
+        pending_bytes = 0
 
         def flush():
-            nonlocal pending, pending_rows
+            nonlocal pending, pending_rows, pending_bytes
             tbl = pa.Table.from_batches(pending).combine_chunks()
-            for b in tbl.to_batches(max_chunksize=stripe_rows):
+            chunk = stripe_rows
+            if pending_bytes > 0 and pending_rows > 0:
+                rows_by_bytes = max(
+                    (stripe_bytes * pending_rows) // pending_bytes, 1)
+                chunk = min(stripe_rows, int(rows_by_bytes))
+            for b in tbl.to_batches(max_chunksize=chunk):
                 writer.write_batch(b)
-            pending, pending_rows = [], 0
+            pending, pending_rows, pending_bytes = [], 0, 0
 
         for b in batches:
             if b.num_rows == 0:
@@ -159,8 +172,9 @@ def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
                                    row_index_stride=row_index_stride)
             pending.append(b)
             pending_rows += b.num_rows
+            pending_bytes += b.nbytes
             n += b.num_rows
-            if pending_rows >= stripe_rows:
+            if pending_rows >= stripe_rows or pending_bytes >= stripe_bytes:
                 flush()
         if writer is None:
             return

@@ -117,3 +117,26 @@ def test_single_file_multi_stripe_splits_to_tasks(spark, tmp_path):
     assert df.count() == n
     got = df.agg(F.sum("k")).collect()[0][0]
     assert got == n * (n - 1) // 2
+
+
+def test_write_orc_spark_byte_estimate_flush(spark, tmp_path):
+    """Wide rows must produce multiple stripes without caller-side
+    stripe_rows tuning (`src/arrow_writer.rs:111-122` 64 MiB analog —
+    here a small budget to keep the test light)."""
+    import pyspark.sql.functions as F
+    from orc_rust_spark.sources.orc_spark import (orc_file_stats,
+                                                  write_orc_spark)
+
+    df = (spark.range(0, 2000, 1, 1)
+          .select(F.col("id"),
+                  F.expr("repeat(uuid(), 40)").alias("wide")))
+    out = str(tmp_path / "wide_orc")
+    manifest = write_orc_spark(df, out, compression=0, stripe_rows=1 << 20,
+                               stripe_bytes=256 * 1024).collect()
+    assert len(manifest) == 1
+    stats = orc_file_stats(manifest[0]["path"])
+    # ~1.5k-byte rows against a 256 KiB budget: several stripes, none
+    # wildly above the byte budget's row estimate
+    assert stats["n_stripes"] >= 4
+    assert stats["n_rows"] == 2000
+    assert max(stats["stripe_rows"]) <= 400
