@@ -931,6 +931,37 @@ _ORC_RI_ORACLE = (
 )
 
 
+def q_orc_external_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-writer row-group skip gate (the round-4 mid-run seek,
+    reference `skip(n)` contract `src/encoding/mod.rs:54-55`,
+    `src/encoding/integer/rle_v2/mod.rs:148-175`): lineitem is written
+    by PYARROW's C++ ORC writer — which does NOT flush RLE runs at
+    row-group boundaries, so its ROW_INDEX positions carry nonzero
+    in-chunk/in-run offsets — then read back through our distributed
+    source under a predicate.  Matching groups decode mid-run,
+    mid-byte, mid-chunk; non-matching groups' bytes are never decoded
+    (asserted in tests/test_external_rowgroups.py).  The pyarrow write
+    is a bounded driver-side step (gate scales only)."""
+    import tempfile
+
+    import pyarrow.orc as _po
+    import pyarrow.parquet as _pq
+
+    from .sources.orc_spark import read_orc_spark
+    from .sources.predicate import Predicate as P
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tbl = _pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity",
+                                  "l_returnflag"])
+    out = tempfile.mkdtemp(prefix="orc_ext_")
+    _po.write_table(tbl, f"{out}/part-00000.orc", compression="zlib",
+                    row_index_stride=2_500)
+    pred = P.and_([P.gte("l_orderkey", 10_000), P.lte("l_orderkey", 20_000)])
+    rt = read_orc_spark(spark, out, predicate=pred)
+    return rt.filter((F.col("l_orderkey") >= 10_000)
+                     & (F.col("l_orderkey") <= 20_000))
+
+
 def _sql_query(builder: Callable[[bool], str], tables: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir, tables)
@@ -973,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frame_sample"] = q_frame_sample
     q["rle_v1_fixture"] = q_rle_v1_fixture
     q["orc_rowindex_pruned"] = q_orc_rowindex_pruned
+    q["orc_external_pruned"] = q_orc_external_pruned
     q["events_json"] = _sql_query(sql_events_json, ["events"])
     q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
     return q
@@ -992,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_orc_file"] = _ORC_FILE_ORACLE
     o["rle_v1_fixture"] = _RLEV1_ORACLE
     o["orc_rowindex_pruned"] = _ORC_RI_ORACLE
+    o["orc_external_pruned"] = _ORC_RI_ORACLE
     o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE
     o["streaming_encode"] = _TOKENS_ORACLE_BASE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE
