@@ -326,22 +326,30 @@ def _parse_row_index(data, meta: OrcMeta, spans, cids):
     return out
 
 
-def _positions_layout(meta: OrcMeta, spans, cid: int):
+def _positions_layout(meta: OrcMeta, spans, cid: int,
+                      dict_encoded: bool = False):
     """Order and arity of one column's position tuple: [(kind, n_lead,
     n_extra, is_bit)] where n_lead is 1 (byte offset) or 2 (compressed
     chunk + in-chunk offset), n_extra the trailing in-run offsets, and
     is_bit marks bit-RLE streams (PRESENT / boolean DATA) whose final
     position entry is a bit offset.  Mirrors the writer's
-    `_pos_extras`; returns None for stream sets we cannot slice
-    (dictionary encoding)."""
+    `_pos_extras`.
+
+    Dictionary-encoded columns record positions only for PRESENT and
+    the DATA key stream (an RLE value stream, extras=1); the
+    DICTIONARY_DATA/LENGTH streams are stripe-global and are read
+    whole (`_decode_row_groups` injects them per stripe)."""
     from .orc_writer import _pos_extras
+    lead = 2 if meta.compression else 1
+    tk = meta.types[cid]["kind"]
+    if dict_encoded:
+        kinds = sorted(k for (c, k) in spans
+                       if c == cid and k in (K_PRESENT, K_DATA))
+        return [(k, lead, 2 if k == K_PRESENT else 1, k == K_PRESENT)
+                for k in kinds]
     kinds = sorted(k for (c, k) in spans
                    if c == cid and k in (K_PRESENT, K_DATA, K_LENGTH,
                                          K_SECONDARY))
-    if (cid, K_DICT_DATA) in spans:
-        return None
-    lead = 2 if meta.compression else 1
-    tk = meta.types[cid]["kind"]
     return [(k, lead, _pos_extras(tk, k),
              k == K_PRESENT or (k == K_DATA and tk == TK_BOOL))
             for k in kinds]
@@ -782,14 +790,19 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
     for cid in want_cids:
         need.extend(_subtree_cids(meta, cid))
     layouts = {}
+    dict_cids = []
     for cid in set(need):
         if not any((cid, k) in spans for k in (K_PRESENT, K_DATA, K_LENGTH,
                                                K_SECONDARY)):
             continue  # struct with no own streams
-        lay = _positions_layout(meta, spans, cid)
+        dict_encoded = encodings.get(cid, (ENC_DIRECT, 0))[0] in (
+            ENC_DICT, ENC_DICT_V2)
+        lay = _positions_layout(meta, spans, cid, dict_encoded)
         if lay is None:
             return None
         layouts[cid] = lay
+        if dict_encoded:
+            dict_cids.append(cid)
     missing = set(layouts) - set(ridx)
     ridx_all = dict(ridx)
     if missing:
@@ -829,9 +842,22 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
         return min(end, span[1])
 
     from ..kernels.boolean import BitSpan
+    # stripe-global dictionary streams: decompressed ONCE, shared by
+    # every selected group (keys are the per-group seekable stream)
+    dict_streams = {}
+    for cid in dict_cids:
+        for k in (K_LENGTH, K_DICT_DATA):
+            span = spans.get((cid, k))
+            if span is None:
+                continue
+            raw = data[span[0]: span[0] + span[1]]
+            if meta.compression:
+                raw = decompress_stream(raw, meta.compression,
+                                        meta.block_size)
+            dict_streams[(cid, k)] = raw
     tables = []
     for g in keep:
-        streams = {}
+        streams = dict(dict_streams)
         for cid, lay in layouts.items():
             entries = ridx_all[cid]
             pos_g = entries[g][0]

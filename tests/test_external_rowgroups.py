@@ -108,3 +108,43 @@ def test_external_rowgroup_projection(table, tmp_path):
     exp = table.filter(pc.field("k") >= 40_000)
     assert got_f.column("nv").combine_chunks().equals(
         exp.column("nv").combine_chunks())
+
+
+@pytest.mark.parametrize("comp", ["uncompressed", "zlib"])
+def test_external_rowgroup_dictionary_column(tmp_path, comp):
+    """Dictionary-encoded external columns: keys seek per group, the
+    stripe-global dictionary streams load once."""
+    rng = np.random.default_rng(9)
+    n = N
+    cats = np.array([f"category-{i:02d}" for i in range(20)])
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "cat": pa.array(cats[rng.integers(0, 20, n)]),
+        "ncat": pa.array([None if rng.random() < 0.05 else str(cats[i])
+                          for i in rng.integers(0, 20, n)]),
+    })
+    path = str(tmp_path / f"dict_{comp}.orc")
+    po.write_table(t, path, compression=comp, row_index_stride=STRIDE,
+                   dictionary_key_size_threshold=1.0)
+    # confirm the writer actually dictionary-encoded (otherwise this
+    # test silently stops covering the dict path)
+    from orc_rust_spark.sources.orc_reader import (ENC_DICT, ENC_DICT_V2,
+                                                   _stripe_layout,
+                                                   read_metadata)
+    meta = read_metadata(path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    _, encs, _ = _stripe_layout(raw, meta, meta.stripes[0])
+    assert any(e[0] in (ENC_DICT, ENC_DICT_V2) for e in encs.values())
+
+    stats: dict = {}
+    got = read_orc(path, predicate=Predicate.and_(
+        [Predicate.gte("k", 30_000), Predicate.lt("k", 35_000)]),
+        _stats=stats)
+    assert stats["groups_decoded"] == 1
+    flt = (pc.field("k") >= 30_000) & (pc.field("k") < 35_000)
+    got_f = got.filter(flt)
+    exp = t.filter(flt)
+    for c in t.column_names:
+        assert got_f.column(c).combine_chunks().equals(
+            exp.column(c).combine_chunks()), (comp, c)
