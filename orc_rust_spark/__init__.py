@@ -34,6 +34,7 @@ def __getattr__(name):
     orc-rust `ArrowWriter`  -> `write_orc` / `OrcWriter` / `write_orc_spark`
     `read_metadata`         -> `read_metadata` / `orc_file_stats`
     `Predicate` (fork)      -> `Predicate` (stripe + row-group skip)
+    `RowSelection` (fork)   -> `RowSelection` (exact skip/select runs)
     stripe engine           -> `encode_stripe` / `decode_stripe` (+
                                `encode_stripe_rowgroups` row-group index)
     CLI bins                -> python -m orc_rust_spark.sources.orc_tools
@@ -41,6 +42,10 @@ def __getattr__(name):
     lazy = {
         "Predicate": ("orc_rust_spark.sources.predicate", "Predicate"),
         "ColStats": ("orc_rust_spark.sources.predicate", "ColStats"),
+        "RowSelection": ("orc_rust_spark.sources.row_selection",
+                         "RowSelection"),
+        "RowSelector": ("orc_rust_spark.sources.row_selection",
+                        "RowSelector"),
         "read_orc": ("orc_rust_spark.sources.orc_reader", "read_orc"),
         "read_metadata": ("orc_rust_spark.sources.orc_reader", "read_metadata"),
         "write_orc": ("orc_rust_spark.sources.orc_writer", "write_orc"),

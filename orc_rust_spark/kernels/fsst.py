@@ -294,6 +294,12 @@ def _lockstep(data: np.ndarray, table: SymbolTable, win,
     sync = np.full(C, -1, dtype=np.int64)
     rounds: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
     r = 0
+    # a chain may START at/past its end (a previous chain's overrun
+    # consumed a short final segment entirely): it emits nothing
+    done0 = P >= ends
+    if done0.any():
+        keep0 = ~done0
+        P, ends, ids = P[keep0], ends[keep0], ids[keep0]
     while len(P):
         if visited is not None:
             s = visited[P]

@@ -949,7 +949,6 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
 from .bitpack import packed_byte_len, unpack_ints, unpack_ints_segmented  # noqa: E402
 from .rle_v2 import _HDR_DELTA, _HDR_SHORT_REPEAT  # noqa: E402
 from .util import (  # noqa: E402
-    read_varint_zigzagged,
     rle_v2_decode_bit_width,
     zigzag_decode,
 )

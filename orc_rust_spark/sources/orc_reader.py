@@ -655,6 +655,7 @@ def arrow_schema(meta: OrcMeta,
 def read_orc(path: str, columns: list[str] | None = None,
              predicate: dict[str, tuple] | None = None,
              stripe_indices: list[int] | None = None,
+             row_selection=None,
              _stats: dict | None = None) -> pa.Table:
     """Decode a real ORC file to an Arrow table using the engine kernels.
 
@@ -669,6 +670,14 @@ def read_orc(path: str, columns: list[str] | None = None,
     (`src/row_group_filter.rs`) at stripe granularity on real ORC.
     Skipping is conservative: stripes without statistics always decode;
     a final exact filter remains the caller's job.
+
+    `row_selection` is a `row_selection.RowSelection` over the file's
+    rows (the fork's headline feature, `src/row_selection.rs`): stripes
+    and row groups whose slice selects nothing are skipped without
+    touching their bytes, and the result contains EXACTLY the selected
+    rows (selection is exact, unlike the conservative predicate).  Rows
+    a predicate prunes are dropped from the selection, matching the
+    reference's filter->selection AND composition.
 
     `stripe_indices` restricts the decode to a subset of stripes — the
     byte-range split unit (`src/arrow_reader.rs:357-372`): N tasks can
@@ -694,16 +703,31 @@ def read_orc(path: str, columns: list[str] | None = None,
     want = [i for i, nm in enumerate(names)
             if columns is None or nm in columns]
     pred = None
+    # column id of a root child is its subtype index
+    col_to_cid = {nm: root["subtypes"][i] for i, nm in enumerate(names)}
     if predicate is not None:
         from .predicate import Predicate
         pred = Predicate.from_range_dict(predicate) \
             if isinstance(predicate, dict) else predicate
-        # column id of a root child is its subtype index
-        col_to_cid = {nm: root["subtypes"][i] for i, nm in enumerate(names)}
     want_stripes = set(stripe_indices) if stripe_indices is not None else None
+    sel_rest = None
+    if row_selection is not None:
+        from .row_selection import RowSelection
+        total_rows = sum(s["n_rows"] for s in meta.stripes)
+        if row_selection.row_count() != total_rows:
+            raise ValueError(
+                f"row_selection covers {row_selection.row_count()} rows, "
+                f"file has {total_rows}")
+        sel_rest = RowSelection(list(row_selection.selectors))
     batches = []
     for sidx, si in enumerate(meta.stripes):
+        n = si["n_rows"]
+        # the selection is consumed in stripe order even for stripes a
+        # filter (or the stripe_indices subset) drops
+        ssel = sel_rest.split_off(n) if sel_rest is not None else None
         if want_stripes is not None and sidx not in want_stripes:
+            continue
+        if ssel is not None and not ssel.selects_any():
             continue
         if pred is not None and sidx < len(meta.stripe_stats):
             stats = meta.stripe_stats[sidx]
@@ -714,20 +738,21 @@ def read_orc(path: str, columns: list[str] | None = None,
 
             if not pred.evaluate(stats_of):
                 continue
-        n = si["n_rows"]
         out_names = [names[i] for i in want]
         want_cids = [root["subtypes"][i] for i in want]
-        # sub-stripe skip: with a predicate, a row index, and clean
-        # (group-aligned) positions, decode only the row groups whose
-        # statistics may match (`src/row_group_filter.rs:51-118` +
-        # positions seek of `src/row_index.rs`)
+        # sub-stripe skip: with a predicate or selection and a row
+        # index, decode only the row groups whose statistics may match
+        # and whose selection slice selects rows
+        # (`src/row_group_filter.rs:51-118` + positions seek of
+        # `src/row_index.rs`)
         streams = None
-        if pred is not None and meta.row_index_stride and \
-                n > meta.row_index_stride:
+        sel_has_skips = ssel is not None and ssel.skipped_row_count() > 0
+        if (pred is not None or sel_has_skips) and meta.row_index_stride \
+                and n > meta.row_index_stride:
             spans, encodings, writer_tz = _stripe_layout(data, meta, si)
             got = _decode_row_groups(data, meta, spans, encodings, writer_tz,
                                      si, pred, col_to_cid, want_cids,
-                                     out_names, _stats)
+                                     out_names, _stats, ssel)
             if got is not None:
                 batches.extend(got)
                 continue
@@ -738,7 +763,10 @@ def read_orc(path: str, columns: list[str] | None = None,
             _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + n
         cols = [_decode_column(cid, meta, streams,
                                encodings, n, writer_tz) for cid in want_cids]
-        batches.append(pa.table(cols, names=out_names))
+        tb = pa.table(cols, names=out_names)
+        if sel_has_skips:
+            tb = tb.filter(pa.array(ssel.mask(n)))
+        batches.append(tb)
     if not batches:
         # typed empty result (null-typed columns would poison downstream
         # concat/cast when one file of a set happens to be fully pruned)
@@ -754,34 +782,44 @@ def _subtree_cids(meta: OrcMeta, cid: int) -> list[int]:
 
 
 def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
-                       pred, col_to_cid, want_cids, out_names, _stats):
+                       pred, col_to_cid, want_cids, out_names, _stats,
+                       ssel=None):
     """Row-group-selective decode of one stripe.  Returns a list of
     tables (possibly empty = all groups pruned) or None to signal
-    fallback to whole-stripe decode (no index for a needed column, or
-    positions with nonzero in-run offsets — i.e. a writer that did not
-    flush encoders at group boundaries; seeking mid-run needs decoder
-    run state and is out of scope, as SURVEY §2.4 argues)."""
+    fallback to whole-stripe decode (no usable index for a needed
+    column).  `ssel` is this stripe's `RowSelection` slice: groups it
+    proves empty are skipped bytes-untouched and decoded groups are
+    trimmed to exactly the selected rows."""
     n = si["n_rows"]
     stride = meta.row_index_stride
     n_groups = (n + stride - 1) // stride
-    pcols = [c for c in pred.columns() if c in col_to_cid]
+    pcols = [c for c in pred.columns() if c in col_to_cid] \
+        if pred is not None else []
     pcids = [col_to_cid[c] for c in pcols]
     ridx = _parse_row_index(data, meta, spans, set(pcids))
     if any(cid not in ridx or len(ridx[cid]) != n_groups for cid in pcids):
         return None
     keep = []
+    gsels = {}
     for g in range(n_groups):
+        if ssel is not None:
+            gsel = ssel.slice(g * stride, min((g + 1) * stride, n))
+            if not gsel.selects_any():
+                continue
+            gsels[g] = gsel
+
         def stats_of(col, _g=g):
             cid = col_to_cid.get(col)
             if cid is None or cid not in ridx:
                 return None
             return ridx[cid][_g][1]
-        if pred.evaluate(stats_of):
+        if pred is None or pred.evaluate(stats_of):
             keep.append(g)
     if _stats is not None:
         _stats["groups_total"] = _stats.get("groups_total", 0) + n_groups
         _stats["groups_decoded"] = _stats.get("groups_decoded", 0) + len(keep)
-    if len(keep) == n_groups:
+    if len(keep) == n_groups and \
+            (ssel is None or ssel.skipped_row_count() == 0):
         return None  # nothing pruned: whole-stripe decode is cheaper
     if not keep:
         return []
@@ -913,5 +951,9 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
             _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + rows_g
         cols = [_decode_column(cid, meta, streams, encodings, rows_g,
                                writer_tz) for cid in want_cids]
-        tables.append(pa.table(cols, names=out_names))
+        tb = pa.table(cols, names=out_names)
+        gsel = gsels.get(g)
+        if gsel is not None and gsel.skipped_row_count():
+            tb = tb.filter(pa.array(gsel.mask(rows_g)))
+        tables.append(tb)
     return tables

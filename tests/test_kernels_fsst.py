@@ -200,3 +200,21 @@ def test_frontier_parse_escape_heavy():
     assert np.array_equal(F._parse(data, tbl), F._parse_frontier(data, tbl))
     comp = F.fsst_compress_with(data, tbl)
     assert F.fsst_decompress(comp) == data.tobytes()
+
+
+def test_frontier_parse_overrun_into_tiny_final_segment():
+    """A chain's final match may overrun into (and fully consume) a
+    short last segment; the next chain then starts at its own end and
+    must emit nothing."""
+    from orc_rust_spark.kernels import fsst as F
+
+    base = b"abcdefgh" * (F._SEG // 8)  # highly symbolizable
+    rng = np.random.default_rng(31)
+    for tail in range(1, 9):
+        for seed in range(3):
+            mix = bytes(rng.integers(97, 105, F._SEG).astype(np.uint8))
+            data = np.frombuffer((base + mix)[: F._SEG + tail], np.uint8)
+            tbl = F.train(np.frombuffer(base, np.uint8))
+            seq = F._parse(data, tbl)
+            got = F._parse_frontier(data, tbl)
+            assert np.array_equal(got, seq), (tail, seed)
