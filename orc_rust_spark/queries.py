@@ -962,6 +962,51 @@ def q_orc_external_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("l_orderkey") <= 20_000))
 
 
+def q_orc_row_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowSelection gate (the fork's headline feature,
+    `src/row_selection.rs:31-463` + selection-aware decode
+    `src/array_decoder/mod.rs:301-364`): write lineitem in a stable
+    order as real ORC with a row index, then read back EXACTLY three
+    positional ranges through the distributed source — stripes and row
+    groups whose selection slice selects nothing are skipped without
+    touching their bytes, and selected rows are trimmed exactly (no
+    post-filter needed; positions are the oracle's row_number)."""
+    import tempfile
+    from .sources.orc_spark import read_orc_spark, write_orc_spark
+    from .sources.row_selection import RowSelection
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity") \
+        .orderBy("l_orderkey", "l_linenumber")
+    out = tempfile.mkdtemp(prefix="orc_sel_")
+    mani = write_orc_spark(li.coalesce(1), out, compression=1,
+                           stripe_rows=30_000,
+                           row_index_stride=2_500).collect()
+    total = sum(r["n_rows"] for r in mani)
+    want = [(2_000, 4_500), (30_000, 31_000), (total - 10, total)]
+    ranges = []
+    for start, stop in want:
+        start, stop = max(start, 0), min(stop, total)
+        if start >= stop:
+            continue
+        if ranges and start <= ranges[-1][1]:
+            ranges[-1] = (ranges[-1][0], max(stop, ranges[-1][1]))
+        else:
+            ranges.append((start, stop))
+    sel = RowSelection.from_consecutive_ranges(ranges, total)
+    return read_orc_spark(spark, out, row_selection=sel)
+
+
+_ORC_SEL_ORACLE = (
+    "WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, "
+    "row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn "
+    "FROM lineitem), n AS (SELECT count(*) AS c FROM lineitem) "
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM t, n "
+    "WHERE (rn >= 2000 AND rn < 4500) OR (rn >= 30000 AND rn < 31000) "
+    "OR rn >= c - 10"
+)
+
+
 def _sql_query(builder: Callable[[bool], str], tables: list[str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir, tables)
@@ -1005,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rle_v1_fixture"] = q_rle_v1_fixture
     q["orc_rowindex_pruned"] = q_orc_rowindex_pruned
     q["orc_external_pruned"] = q_orc_external_pruned
+    q["orc_row_selection"] = q_orc_row_selection
     q["events_json"] = _sql_query(sql_events_json, ["events"])
     q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
     return q
@@ -1025,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
     o["rle_v1_fixture"] = _RLEV1_ORACLE
     o["orc_rowindex_pruned"] = _ORC_RI_ORACLE
     o["orc_external_pruned"] = _ORC_RI_ORACLE
+    o["orc_row_selection"] = _ORC_SEL_ORACLE
     o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE
     o["streaming_encode"] = _TOKENS_ORACLE_BASE
     o["roundtrip_tokens"] = _TOKENS_ORACLE_BASE

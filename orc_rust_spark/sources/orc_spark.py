@@ -36,13 +36,23 @@ from .orc_writer import OrcWriter
 def read_orc_spark(spark: SparkSession, path: str,
                    columns: list[str] | None = None,
                    predicate: dict[str, tuple] | None = None,
-                   split_bytes: int = 32 << 20) -> DataFrame:
+                   split_bytes: int = 32 << 20,
+                   row_selection=None) -> DataFrame:
     """Distributed read of a dir of `.orc` files (or a single file).
 
     `columns` projects into the stripes (unread columns' streams are
     never decoded); `predicate` {col: (lo, hi)} prunes whole stripes
     against the files' statistics sections before any stream bytes are
     touched — conservative, so follow with an exact `.filter`.
+
+    `row_selection` is a `RowSelection` over the DATASET's rows in
+    (sorted-file, stripe) order — the fork's exact skip/select feature
+    (`src/row_selection.rs`) lifted to the distributed scan: the driver
+    splits the selection per file during planning (selector runs, not
+    rows — O(#ranges) metadata), every task slices its own file's
+    selection, and stripes/row-groups proven empty are skipped without
+    touching their bytes.  The result contains exactly the selected
+    rows.
 
     Tasks are (file, stripe subset) byte-range splits of ~`split_bytes`
     (`src/arrow_reader.rs:357-372`): one big multi-stripe file fans out
@@ -56,9 +66,23 @@ def read_orc_spark(spark: SparkSession, path: str,
     probe_schema = arrow_schema(read_metadata(files[0]), columns)
     out_schema = spark_schema_for(_normalize_schema(probe_schema))
 
-    tasks: list[tuple[str, list[int]]] = []
+    sel_rest = None
+    if row_selection is not None:
+        from .row_selection import RowSelection
+        sel_rest = RowSelection(list(row_selection.selectors))
+
+    tasks: list[tuple[str, list[int], list[tuple[int, bool]] | None]] = []
     for f in files:
         meta = read_metadata(f)
+        fsel = None
+        if sel_rest is not None:
+            n_file = sum(s["n_rows"] for s in meta.stripes)
+            fs = sel_rest.split_off(n_file)
+            if fs.row_count() != n_file:
+                raise ValueError(
+                    "row_selection shorter than the dataset "
+                    f"(exhausted inside {f})")
+            fsel = [(s.row_count, s.skip) for s in fs.selectors]
         cur: list[int] = []
         cur_bytes = 0
         for i, s in enumerate(meta.stripes):
@@ -66,25 +90,43 @@ def read_orc_spark(spark: SparkSession, path: str,
             cur_bytes += (s["index_length"] + s["data_length"]
                           + s["footer_length"])
             if cur_bytes >= split_bytes:
-                tasks.append((f, cur))
+                tasks.append((f, cur, fsel))
                 cur, cur_bytes = [], 0
         if cur or not meta.stripes:
-            tasks.append((f, cur))
+            tasks.append((f, cur, fsel))
+    if sel_rest is not None and sel_rest.row_count():
+        raise ValueError(
+            f"row_selection covers {row_selection.row_count()} rows, "
+            f"dataset has {row_selection.row_count() - sel_rest.row_count()}")
 
     plan = spark.createDataFrame(
-        [(i, f, ids) for i, (f, ids) in enumerate(tasks)],
+        [(i, f, ids,
+          [n for n, _ in sel] if sel is not None else None,
+          [k for _, k in sel] if sel is not None else None)
+         for i, (f, ids, sel) in enumerate(tasks)],
         T.StructType([T.StructField("tid", T.IntegerType()),
                       T.StructField("file", T.StringType()),
-                      T.StructField("stripes", T.ArrayType(T.IntegerType()))]),
+                      T.StructField("stripes", T.ArrayType(T.IntegerType())),
+                      T.StructField("sel_counts", T.ArrayType(T.LongType())),
+                      T.StructField("sel_skips",
+                                    T.ArrayType(T.BooleanType()))]),
     ).repartitionByRange(len(tasks), "tid")
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .row_selection import RowSelection, RowSelector
         for b in batches:
-            for f, ids in zip(b.column("file").to_pylist(),
-                              b.column("stripes").to_pylist()):
+            for f, ids, cnts, skips in zip(
+                    b.column("file").to_pylist(),
+                    b.column("stripes").to_pylist(),
+                    b.column("sel_counts").to_pylist(),
+                    b.column("sel_skips").to_pylist()):
+                sel = RowSelection([RowSelector(n, k)
+                                    for n, k in zip(cnts, skips)]) \
+                    if cnts is not None else None
                 tbl = _normalize(read_orc(f, columns=columns,
                                           predicate=predicate,
-                                          stripe_indices=ids))
+                                          stripe_indices=ids,
+                                          row_selection=sel))
                 yield from tbl.to_batches()
 
     return plan.mapInArrow(scan, out_schema)

@@ -194,3 +194,62 @@ class TestSelectionAwareDecode:
         exp = src.slice(n // 2, 40)
         assert got.column("o_orderkey").combine_chunks().equals(
             exp.column("o_orderkey").combine_chunks())
+
+
+class TestDistributedSelection:
+    """`read_orc_spark(row_selection=...)`: the driver splits a
+    dataset-level selection per file (selector runs, not rows); each
+    (file, stripe-subset) task slices its own file's selection."""
+
+    N_FILE = 6_000
+
+    @pytest.fixture(scope="class")
+    def orc_dir(self, tmp_path_factory):
+        from orc_rust_spark import write_orc
+        d = tmp_path_factory.mktemp("dist_sel")
+        tables = []
+        for p in range(3):
+            base = p * self.N_FILE
+            t = pa.table({
+                "k": pa.array(np.arange(base, base + self.N_FILE,
+                                        dtype=np.int64)),
+                "v": pa.array((np.arange(self.N_FILE) % 701)
+                              .astype(np.int32)),
+            })
+            write_orc(str(d / f"part-{p:05d}.orc"), t, compression=1,
+                      row_index_stride=1_000)
+            tables.append(t)
+        return str(d), pa.concat_tables(tables)
+
+    def test_ranges_across_files(self, spark, orc_dir):
+        from orc_rust_spark.sources.orc_spark import read_orc_spark
+        path, full = orc_dir
+        total = full.num_rows
+        # ranges inside file 0, straddling the 0/1 boundary, and the tail
+        ranges = [(100, 150), (5_900, 6_200), (17_990, total)]
+        sel = RowSelection.from_consecutive_ranges(ranges, total)
+        got = read_orc_spark(spark, path, row_selection=sel) \
+            .orderBy("k").collect()
+        exp = sorted(k for a, b in ranges for k in range(a, b))
+        assert [r["k"] for r in got] == exp
+        assert [r["v"] for r in got] == \
+            [(k % self.N_FILE) % 701 for k in exp]
+
+    def test_file_fully_skipped(self, spark, orc_dir):
+        from orc_rust_spark.sources.orc_spark import read_orc_spark
+        path, full = orc_dir
+        total = full.num_rows
+        # middle file selects nothing at all
+        sel = RowSelection.from_consecutive_ranges(
+            [(0, 10), (2 * self.N_FILE, 2 * self.N_FILE + 10)], total)
+        got = read_orc_spark(spark, path, row_selection=sel) \
+            .orderBy("k").collect()
+        assert [r["k"] for r in got] == list(range(10)) + \
+            list(range(2 * self.N_FILE, 2 * self.N_FILE + 10))
+
+    def test_wrong_total_raises(self, spark, orc_dir):
+        from orc_rust_spark.sources.orc_spark import read_orc_spark
+        path, full = orc_dir
+        with pytest.raises(ValueError):
+            read_orc_spark(spark, path,
+                           row_selection=RowSelection.select_all(7))
