@@ -108,11 +108,13 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
     starts = np.zeros(K, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     # int32 index domain halves scatter traffic; guard on total bit
-    # count so a >2^31-bit pack falls back to exact int64 arithmetic
+    # count so a >2^31-bit pack falls back to exact int64 arithmetic.
+    # one repeat of the per-segment constant (offs*8 - starts*width)
+    # replaces the two full-length repeats of the naive form
     it = np.int32 if int(offs[-1]) * 8 + width < 2**31 else np.int64
-    pos_in_seg = np.arange(n, dtype=it) - np.repeat(starts.astype(it), lens)
-    val_bit = np.repeat((offs[:-1] * 8).astype(it), lens) \
-        + pos_in_seg * it(width)
+    val_bit = (np.arange(n, dtype=it) * it(width)
+               + np.repeat((offs[:-1] * 8 - starts * width).astype(it),
+                           lens))
     bits = np.zeros(int(offs[-1]) * 8, dtype=np.uint8)
     # one scatter per bit position keeps peak memory at O(n), not O(n*w);
     # uint32 value domain for the common width<=32 case (values fit
@@ -151,8 +153,7 @@ def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
         np.cumsum((groups[:-1] * 8).astype(it), out=pstart[1:])
         starts = np.zeros(K, dtype=it)
         np.cumsum(lens[:-1].astype(it), out=starts[1:])
-        tgt = (np.repeat(pstart, lens)
-               + (np.arange(n, dtype=it) - np.repeat(starts, lens)))
+        tgt = np.arange(n, dtype=it) + np.repeat(pstart - starts, lens)
         pv[tgt] = v  # upcasts u32 -> u64 in one pass
     gm = pv.reshape(-1, 8)
     if width <= 8:
@@ -189,9 +190,9 @@ def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
     bt = np.int32 if total_pad < 2**31 else np.int64
     bstarts = np.zeros(K, dtype=bt)
     np.cumsum(pad_bytes[:-1].astype(bt), out=bstarts[1:])
-    within = (np.arange(total_pad, dtype=bt)
-              - np.repeat(bstarts, pad_bytes))
-    keep = within < np.repeat(true_bytes.astype(bt), pad_bytes)
+    # arange < repeat(bstarts + true_bytes): one repeat, one compare
+    keep = (np.arange(total_pad, dtype=bt)
+            < np.repeat(bstarts + true_bytes.astype(bt), pad_bytes))
     return gbytes.reshape(-1)[keep].tobytes()
 
 
@@ -228,8 +229,8 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
     np.cumsum(lens[:-1], out=starts[1:])
     total_bits = int(offs[-1] + byte_lens[-1]) * 8
     it = np.int32 if total_bits + width < 2**31 else np.int64
-    pos_in_seg = np.arange(n, dtype=it) - np.repeat(starts.astype(it), lens)
-    val_bit = np.repeat((offs * 8).astype(it), lens) + pos_in_seg * it(width)
+    val_bit = (np.arange(n, dtype=it) * it(width)
+               + np.repeat((offs * 8 - starts * width).astype(it), lens))
     bits = np.unpackbits(np.asarray(raw, dtype=np.uint8))
     # accumulate in uint32 when the value fits, widening once at the end
     acc_t = np.uint32 if width <= 32 else U64
@@ -259,8 +260,8 @@ def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
         pstart = np.zeros(K, dtype=it)
         np.cumsum((groups[:-1] * width).astype(it), out=pstart[1:])
         nb = int(byte_lens.sum())
-        tgt = (np.repeat(pstart, byte_lens)
-               + (np.arange(nb, dtype=it) - np.repeat(boffs, byte_lens)))
+        tgt = (np.arange(nb, dtype=it)
+               + np.repeat(pstart - boffs, byte_lens))
         pbytes = np.zeros(n_pad_bytes, dtype=np.uint8)
         pbytes[tgt] = raw[:nb]
     gm = np.zeros((n_pad_bytes // width, 8), dtype=np.uint8)
@@ -298,9 +299,8 @@ def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
     vt = np.int32 if total_pad < 2**31 else np.int64
     vstarts = np.zeros(K, dtype=vt)
     np.cumsum(pad_vals[:-1].astype(vt), out=vstarts[1:])
-    within = (np.arange(total_pad, dtype=vt)
-              - np.repeat(vstarts, pad_vals))
-    keep = within < np.repeat(lens.astype(vt), pad_vals)
+    keep = (np.arange(total_pad, dtype=vt)
+            < np.repeat(vstarts + lens.astype(vt), pad_vals))
     return flat[keep]
 
 

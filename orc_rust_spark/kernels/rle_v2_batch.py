@@ -748,8 +748,10 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         tote = int(e_ll.sum())
         pst = np.zeros(len(oks), dtype=np.int32)
         np.cumsum(e_ll[:-1].astype(np.int32), out=pst[1:])
-        eidx = (np.repeat(bnd[oks].astype(np.int32), e_ll)
-                + (np.arange(tote, dtype=np.int32) - np.repeat(pst, e_ll)))
+        # arange + one repeat of the per-block constant (bnd - pst):
+        # same indices as the two-repeat form, two fewer full passes
+        eidx = (np.arange(tote, dtype=np.int32)
+                + np.repeat(bnd[oks].astype(np.int32) - pst, e_ll))
         zz_sorted = zzg[eidx]
         ecum = np.zeros(len(oks) + 1, dtype=np.int64)
         np.cumsum(e_ll, out=ecum[1:])
@@ -794,8 +796,8 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
             tot = int(counts.sum())
             st = np.zeros(len(vks), dtype=np.int64)
             np.cumsum(counts[:-1], out=st[1:])
-            gi = (np.repeat(bnd[vks] + 1, counts)
-                  + (np.arange(tot, dtype=np.int64) - np.repeat(st, counts)))
+            gi = (np.arange(tot, dtype=np.int64)
+                  + np.repeat(bnd[vks] + 1 - st, counts))
             rest = d[gi]
             if d.dtype == np.int32:
                 # nrange guard: no delta can be INT32_MIN, abs is exact
