@@ -330,8 +330,8 @@ def _scatter_flat(out: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     it = np.int32 if len(out) < 2**31 else np.int64
     src0 = np.zeros(len(lens), dtype=it)
     np.cumsum(lens[:-1].astype(it), out=src0[1:])
-    tgt = (np.repeat(starts.astype(it), lens)
-           + (np.arange(total, dtype=it) - np.repeat(src0, lens)))
+    tgt = (np.arange(total, dtype=it)
+           + np.repeat(starts.astype(it) - src0, lens))
     out[tgt] = blob[:total]
 
 
@@ -482,10 +482,16 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         g = v[mask]
     if narrow:
         # zigzag in the u32 domain == low 32 bits of the u64 zigzag for
-        # values that fit int32; bit widths and packing agree exactly
-        zzg = ((g.astype(np.uint32) << np.uint32(1))
-               ^ (g >> np.int32(31)).astype(np.uint32)) if signed \
-            else g.astype(np.uint32)
+        # values that fit int32; bit widths and packing agree exactly.
+        # Computed entirely in int32 (wrapping shift == u32 shift, the
+        # arithmetic >>31 IS the all-ones/all-zeros zigzag mask), then
+        # reinterpreted: 3 memory passes instead of 5
+        if signed:
+            zzg = np.left_shift(g, 1)
+            np.bitwise_xor(zzg, np.right_shift(g, 31), out=zzg)
+            zzg = zzg.view(np.uint32)
+        else:
+            zzg = g.astype(np.uint32)
     else:
         zzg = zigzag_encode(g) if signed else g.astype(U64)
 
@@ -555,8 +561,12 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
     # for zipf tokens instead of 33/65): smaller bincount target and
     # suffix matrix
     ncols = int(bug.max()) + 1 if len(bug) else 1
-    hist = np.bincount(seg_of * np.int32(ncols) + bug.astype(np.int32),
-                       minlength=K * ncols).reshape(K, ncols)
+    # int64 key built via repeat (multiply happens in the K domain):
+    # bincount's internal cast to intp is free on an int64 input, which
+    # beats handing it a freshly built int32 key by ~1.5x
+    hkey = np.repeat(np.arange(K, dtype=np.int64) * ncols, ll)
+    np.add(hkey, bug, out=hkey, casting="unsafe")
+    hist = np.bincount(hkey, minlength=K * ncols).reshape(K, ncols)
     sfx = _suffix_counts(hist)
     w90 = _FIXED_BITS_LUT[_stop_from_suffix(sfx, _per_len(ll, 0.90))]
     w100 = _FIXED_BITS_LUT[_stop_from_suffix(sfx, np.zeros(K, dtype=np.int64))]
@@ -596,19 +606,21 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         # are never read.
         if narrow:
             # base-reduced values of an int32 block always fit uint32;
-            # wrapping u32 subtraction is exact and halves every
-            # derivation/pack pass's memory traffic
-            brl_vals = g.astype(np.uint32) - vmin.astype(np.uint32)[seg_of]
+            # wrapping int32 subtraction == wrapping u32 subtraction, so
+            # subtract a repeat-expanded base in the native dtype and
+            # reinterpret — no astype copies, no fancy gather
+            brl_vals = (g - np.repeat(vmin.astype(np.int32), ll)) \
+                .view(np.uint32)
         else:
-            brl_vals = g.astype(I64) - vmin[seg_of]
+            brl_vals = g - np.repeat(vmin, ll)
         if narrow and int(range_u.max()) < (1 << 24):
             pbits = np.frexp(brl_vals.astype(np.float32))[1]
         else:
             pbits = bits_used(brl_vals if narrow else brl_vals.astype(U64))
         pcols = int(pbits.max()) + 1 if len(pbits) else 1
-        phist = np.bincount(seg_of * np.int32(pcols)
-                            + pbits.astype(np.int32),
-                            minlength=K * pcols).reshape(K, pcols)
+        pkey = np.repeat(np.arange(K, dtype=np.int64) * pcols, ll)
+        np.add(pkey, pbits, out=pkey, casting="unsafe")
+        phist = np.bincount(pkey, minlength=K * pcols).reshape(K, pcols)
         p95_k = _FIXED_BITS_LUT[_percentile_stop(phist, _per_len(ll, 0.95))]
         brl_100_k = _ALIGNED_WIDTH_LUT[bits_used(range_u)]
         is_patched_k = pc & (brl_100_k != p95_k)
@@ -891,8 +903,8 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         tote = int(e_ll.sum())
         pst = np.zeros(len(order), dtype=np.int32)
         np.cumsum(e_ll[:-1].astype(np.int32), out=pst[1:])
-        eidx = (np.repeat(estart.astype(np.int32), e_ll)
-                + (np.arange(tote, dtype=np.int32) - np.repeat(pst, e_ll)))
+        eidx = (np.arange(tote, dtype=np.int32)
+                + np.repeat(estart.astype(np.int32) - pst, e_ll))
         brl_sorted = brl_vals[eidx]  # u32 stays u32 in the pack
         ecum = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(e_ll, out=ecum[1:])
@@ -955,6 +967,10 @@ from .util import (  # noqa: E402
     zigzag_decode,
 )
 
+# Python-list LUT for the 5-bit width codes: C-speed list indexing in
+# the header walk, where a function call per block is ~3x the cost
+_DECODE_BW_PY = [rle_v2_decode_bit_width(c) for c in range(32)]
+
 
 def _concat_spans(raw: np.ndarray, spans) -> np.ndarray:
     """Concatenate byte ranges of the stream buffer without building
@@ -974,8 +990,7 @@ def _scatter(out: np.ndarray, offsets: list[int], lens: list[int],
     starts = np.zeros(len(ln), dtype=it)
     np.cumsum(ln[:-1], out=starts[1:])
     total = int(np.asarray(lens, dtype=np.int64).sum())
-    idx = np.repeat(off, ln) + (np.arange(total, dtype=it)
-                                - np.repeat(starts, ln))
+    idx = np.arange(total, dtype=it) + np.repeat(off - starts, ln)
     out[idx] = vals
 
 
@@ -1048,73 +1063,96 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
     pb_pw: list[int] = []    # patch word width
     pb_paw: list[int] = []   # patch value width
 
+    # The walk is per-block Python BY DESIGN (a speculative vectorized
+    # scan lost to it, see git history); on run-dense token streams a
+    # block averages ~20 bytes, so the constant factor per iteration IS
+    # the decode throughput.  bytes.__getitem__ beats memoryview
+    # indexing, a 32-entry list LUT beats the bit-width call ~3x, the
+    # byte-length formula is inlined ((n*w+7)>>3 equals the aligned
+    # form for every w), and append methods are pre-bound.
+    bb = bytes(buf)
+    bwl = _DECODE_BW_PY
+    sr_off_a = sr_off.append
+    sr_len_a = sr_len.append
+    sr_pos_a = sr_pos.append
+    sr_bw_a = sr_bw.append
+    dl_off_a = dl_off.append
+    dl_len_a = dl_len.append
+    dl_w_a = dl_w.append
+    dl_q1_a = dl_q1.append
+    dl_b1_a = dl_b1.append
+    dl_b2_a = dl_b2.append
+    dl_dp_a = dl_dp.append
+    dir_get = dir_g.get
+
     got = 0
     pos = 0
     while got < n:
-        header = buf[pos]
+        header = bb[pos]
         pos += 1
         kind = header & 0xC0
         if kind == _HDR_SHORT_REPEAT:
             byte_width = ((header >> 3) & 0x07) + 1
             run_length = (header & 0x07) + 3
-            sr_off.append(got)
-            sr_len.append(run_length)
-            sr_pos.append(pos)
-            sr_bw.append(byte_width)
+            sr_off_a(got)
+            sr_len_a(run_length)
+            sr_pos_a(pos)
+            sr_bw_a(byte_width)
             pos += byte_width
             got += run_length
         elif kind == _HDR_DIRECT:
-            w = rle_v2_decode_bit_width((header >> 1) & 0x1F)
-            length = (((header & 0x01) << 8) | buf[pos]) + 1
+            w = bwl[(header >> 1) & 0x1F]
+            length = (((header & 0x01) << 8) | bb[pos]) + 1
             pos += 1
-            nb = packed_byte_len(length, w)
-            offs, lens_, spans = dir_g.setdefault(w, ([], [], []))
-            offs.append(got)
-            lens_.append(length)
-            spans.append((pos, nb))
+            nb = (length * w + 7) >> 3
+            grp = dir_get(w)
+            if grp is None:
+                grp = dir_g[w] = ([], [], [])
+            grp[0].append(got)
+            grp[1].append(length)
+            grp[2].append((pos, nb))
             pos += nb
             got += length
         elif kind == _HDR_DELTA:
             ew = (header >> 1) & 0x1F
-            w = 0 if ew == 0 else rle_v2_decode_bit_width(ew)
-            length = (((header & 0x01) << 8) | buf[pos]) + 1
+            w = 0 if ew == 0 else bwl[ew]
+            length = (((header & 0x01) << 8) | bb[pos]) + 1
             pos += 1
             q1 = pos
-            while buf[pos] & 0x80:
+            while bb[pos] & 0x80:
                 pos += 1
             pos += 1
             b1 = pos - q1
             q2 = pos
-            while buf[pos] & 0x80:
+            while bb[pos] & 0x80:
                 pos += 1
             pos += 1
-            b2 = pos - q2
-            dl_off.append(got)
-            dl_len.append(length)
-            dl_w.append(w)
-            dl_q1.append(q1)
-            dl_b1.append(b1)
-            dl_b2.append(b2)
+            dl_off_a(got)
+            dl_len_a(length)
+            dl_w_a(w)
+            dl_q1_a(q1)
+            dl_b1_a(b1)
+            dl_b2_a(pos - q2)
             if w == 0:
-                dl_dp.append(0)
+                dl_dp_a(0)
             else:
-                dl_dp.append(pos)
-                pos += packed_byte_len(length - 2, w)
+                dl_dp_a(pos)
+                pos += ((length - 2) * w + 7) >> 3
             got += length
         else:  # patched base
-            value_w = rle_v2_decode_bit_width((header >> 1) & 0x1F)
-            length = (((header & 0x01) << 8) | buf[pos]) + 1
+            value_w = bwl[(header >> 1) & 0x1F]
+            length = (((header & 0x01) << 8) | bb[pos]) + 1
             pos += 1
-            third = buf[pos]
-            fourth = buf[pos + 1]
+            third = bb[pos]
+            fourth = bb[pos + 1]
             pos += 2
             base_bw = ((third >> 5) & 0x07) + 1
-            patch_w = rle_v2_decode_bit_width(third & 0x1F)
+            patch_w = bwl[third & 0x1F]
             gap_w = ((fourth >> 5) & 0x07) + 1
             plist_len = fourth & 0x1F
             pw = get_closest_fixed_bits(patch_w + gap_w)
-            data_nb = packed_byte_len(length, value_w)
-            patch_nb = packed_byte_len(plist_len, pw)
+            data_nb = (length * value_w + 7) >> 3
+            patch_nb = (plist_len * pw + 7) >> 3
             pb_off.append(got)
             pb_len.append(length)
             pb_w.append(value_w)
