@@ -861,6 +861,48 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
             if len(positions) < width:
                 return None
 
+    # in-group row skipping (the reference interleaves `skip_rows`
+    # inside a group, `src/array_decoder/mod.rs:301-364`): a group's
+    # decode window is trimmed to [first selected row, last selected
+    # row].  The TAIL trim (decode fewer rows) is type-agnostic; the
+    # LEADING trim rides the decoders' in-run value seek (vskip), which
+    # is exact only when every projected column maps one RLE value per
+    # row with no PRESENT stream — int family, date, timestamp,
+    # dictionary keys.  Other shapes keep lead rows and drop them in
+    # the post-decode mask: identical results, more decode CPU.
+    _SEEK_TKS = (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
+                 TK_TIMESTAMP)
+
+    def _lead_shape(cid: int, lay) -> str:
+        """'seek' = value streams seek directly; 'nonnull' = seekable
+        in groups whose statistics prove has_null is false (the
+        PRESENT stream is all-ones there and is dropped for the
+        group); 'no' = masked fallback."""
+        if meta.types[cid]["kind"] not in _SEEK_TKS \
+                and cid not in dict_cids:
+            return "no"
+        if not all(extra == 1 and not is_bit
+                   for k, _l, extra, is_bit in lay if k != K_PRESENT):
+            return "no"
+        return "nonnull" if any(k == K_PRESENT for k, *_ in lay) \
+            else "seek"
+
+    lead_shapes = {cid: _lead_shape(cid, lay)
+                   for cid, lay in layouts.items()}
+    lead_possible = bool(layouts) and all(
+        s != "no" for s in lead_shapes.values())
+
+    def _group_lead_ok(g: int) -> bool:
+        if not lead_possible:
+            return False
+        for cid, shape in lead_shapes.items():
+            if shape == "seek":
+                continue
+            st = ridx_all[cid][g][1]
+            if st is None or st.has_null is not False:
+                return False
+        return True
+
     # one RLE run spans at most ~4.2 KiB of stream bytes (512 values x
     # 8 bytes + headers), so a group whose successor starts mid-run
     # needs at most that much past the successor's start offset
@@ -895,8 +937,18 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
             dict_streams[(cid, k)] = raw
     tables = []
     for g in keep:
+        rows_g = min(stride, n - g * stride)
+        gsel = gsels.get(g)
+        lead_rows = tail_rows = 0
+        if gsel is not None and gsel.skipped_row_count():
+            tail_rows = gsel.trailing_skip()
+            if _group_lead_ok(g):
+                lead_rows = gsel.leading_skip()
+        dec_n = rows_g - lead_rows - tail_rows
         streams = dict(dict_streams)
         for cid, lay in layouts.items():
+            drop_present = lead_rows > 0 \
+                and lead_shapes.get(cid) == "nonnull"
             entries = ridx_all[cid]
             pos_g = entries[g][0]
             pos_n = entries[g + 1][0] if g + 1 < n_groups else None
@@ -906,6 +958,13 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
                 start = pos_g[i]
                 chunk_skip = pos_g[i + 1] if lead == 2 else 0
                 if is_bit:
+                    if kind == K_PRESENT and drop_present:
+                        # leading seek active and the group's stats
+                        # prove no nulls: PRESENT is all-ones here, and
+                        # omitting it decodes the column non-null —
+                        # exactly the bits it would have produced
+                        i += lead + extra
+                        continue
                     # the group's first bits may share a byte (and run,
                     # and chunk) with the previous group: slice from the
                     # marked run start to stream end; decompression is
@@ -917,7 +976,7 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
                         meta.compression, meta.block_size,
                         pre_skip=chunk_skip)
                 else:
-                    vskip = pos_g[i + lead] if extra else 0
+                    vskip = (pos_g[i + lead] if extra else 0) + lead_rows
                     if pos_n is None:
                         end = span[1]
                     else:
@@ -942,18 +1001,21 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
                     # RLE streams always travel as ValueSpan here: the
                     # group's END need not align with a run boundary
                     # either, so the decoder must tolerate the final
-                    # run overshooting (truncate, don't raise)
-                    streams[(cid, kind)] = ValueSpan(raw, vskip) if extra \
-                        else raw
+                    # run overshooting (truncate, don't raise).  The
+                    # window trim means even OUR writer's aligned
+                    # groups may stop mid-run, so the span is
+                    # unconditional whenever rows are trimmed.
+                    streams[(cid, kind)] = ValueSpan(raw, vskip) \
+                        if extra else raw
                 i += lead + extra
-        rows_g = min(stride, n - g * stride)
         if _stats is not None:
-            _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + rows_g
-        cols = [_decode_column(cid, meta, streams, encodings, rows_g,
+            _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + dec_n
+        cols = [_decode_column(cid, meta, streams, encodings, dec_n,
                                writer_tz) for cid in want_cids]
         tb = pa.table(cols, names=out_names)
-        gsel = gsels.get(g)
         if gsel is not None and gsel.skipped_row_count():
-            tb = tb.filter(pa.array(gsel.mask(rows_g)))
+            m = gsel.mask(rows_g)[lead_rows: rows_g - tail_rows]
+            if not m.all():
+                tb = tb.filter(pa.array(m))
         tables.append(tb)
     return tables

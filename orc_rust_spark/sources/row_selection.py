@@ -9,12 +9,14 @@ selected by the first).
 Applied by `sources.orc_reader.read_orc(row_selection=...)`: whole
 stripes and row groups whose slice of the selection selects nothing are
 skipped without touching their stream bytes (the mid-run seek state
-added in round 4 makes group slicing exact for any writer); the
-selected rows inside a decoded group are then trimmed exactly.  Decode
-granularity is the row group — the reference interleaves `skip_rows`
-calls inside a group (`src/array_decoder/mod.rs:301-364`), which saves
-CPU but no IO at that point; we trim post-decode, which keeps results
-identical.
+added in round 4 makes group slicing exact for any writer), and a
+partially selected group's decode window is trimmed to [first selected
+row, last selected row] — the reference's in-group `skip_rows`
+(`src/array_decoder/mod.rs:301-364`).  Trailing rows are never decoded
+for any column shape; leading rows ride the decoders' value seek when
+every projected column is an RLE value-per-row stream that is
+PRESENT-less (or provably null-free in that group), falling back to a
+post-decode mask otherwise — results identical either way.
 """
 
 from __future__ import annotations
@@ -128,6 +130,25 @@ class RowSelection:
 
     def selects_any(self) -> bool:
         return any(not s.skip for s in self.selectors)
+
+    def leading_skip(self) -> int:
+        """Rows skipped before the first selected row (the whole domain
+        when nothing is selected)."""
+        out = 0
+        for s in self.selectors:
+            if not s.skip:
+                break
+            out += s.row_count
+        return out
+
+    def trailing_skip(self) -> int:
+        """Rows skipped after the last selected row."""
+        out = 0
+        for s in reversed(self.selectors):
+            if not s.skip:
+                break
+            out += s.row_count
+        return out
 
     def mask(self, n: int | None = None) -> np.ndarray:
         """Materialize as a boolean array (padded with skip to n)."""

@@ -253,3 +253,155 @@ class TestDistributedSelection:
         with pytest.raises(ValueError):
             read_orc_spark(spark, path,
                            row_selection=RowSelection.select_all(7))
+
+
+class TestInGroupSkip:
+    """Round-4 refinement: the decode window of a partially selected
+    group is trimmed to [first selected row, last selected row] — the
+    reference's in-group `skip_rows` (`src/array_decoder/mod.rs:
+    301-364`).  Leading rows ride the decoders' value seek when every
+    projected column is a PRESENT-less RLE value-per-row stream;
+    trailing rows are never decoded for any column shape."""
+
+    N = 40_000
+    STRIDE = 10_000
+
+    @pytest.fixture(scope="class")
+    def int_orc(self, tmp_path_factory):
+        rng = np.random.default_rng(11)
+        t = pa.table({
+            "k": pa.array(np.arange(self.N, dtype=np.int64)),
+            "v": pa.array(rng.integers(-500, 500, self.N).astype(np.int32)),
+        })
+        path = str(tmp_path_factory.mktemp("igs") / "ints.orc")
+        po.write_table(t, path, compression="zlib",
+                       row_index_stride=self.STRIDE)
+        return path, t
+
+    def test_lead_and_tail_trim_external(self, int_orc):
+        from orc_rust_spark.sources.orc_reader import read_orc
+        path, t = int_orc
+        # rows 23_000..24_000 of group 2: lead 3_000, tail 6_000
+        sel = RowSelection.from_consecutive_ranges([(23_000, 24_000)], self.N)
+        stats: dict = {}
+        got = read_orc(path, row_selection=sel, _stats=stats)
+        assert stats["groups_decoded"] == 1
+        # pyarrow's writer does not flush runs at group boundaries, so
+        # the trim composes with the mid-run seek state
+        assert stats["rows_decoded"] == 1_000
+        exp = t.slice(23_000, 1_000)
+        for c in t.column_names:
+            assert got.column(c).combine_chunks().equals(
+                exp.column(c).combine_chunks()), c
+
+    def test_scattered_rows_inside_group(self, int_orc):
+        from orc_rust_spark.sources.orc_reader import read_orc
+        path, t = int_orc
+        rng = np.random.default_rng(5)
+        mask = np.zeros(self.N, dtype=bool)
+        picks = rng.choice(np.arange(12_000, 18_000), 37, replace=False)
+        mask[picks] = True
+        sel = RowSelection.from_filters(mask)
+        stats: dict = {}
+        got = read_orc(path, row_selection=sel, _stats=stats)
+        lo, hi = picks.min(), picks.max()
+        assert stats["rows_decoded"] == hi - lo + 1
+        exp = t.filter(pa.array(mask))
+        assert got.column("k").combine_chunks().equals(
+            exp.column("k").combine_chunks())
+        assert got.column("v").combine_chunks().equals(
+            exp.column("v").combine_chunks())
+
+    def test_tail_only_trim_with_strings(self, tmp_path):
+        from orc_rust_spark.sources.orc_reader import read_orc
+        # a unique-valued string column decodes direct (no dictionary):
+        # leading seek unsupported -> masked, tail still trimmed
+        n = 20_000
+        t = pa.table({
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"row-{i:08d}-{i * 37 % 9973}" for i in range(n)]),
+        })
+        path = str(tmp_path / "str.orc")
+        po.write_table(t, path, compression="uncompressed",
+                       row_index_stride=5_000)
+        sel = RowSelection.from_consecutive_ranges([(6_000, 6_050)], n)
+        stats: dict = {}
+        got = read_orc(path, row_selection=sel, _stats=stats)
+        assert stats["rows_decoded"] <= 6_050 - 5_000
+        exp = t.slice(6_000, 50)
+        for c in t.column_names:
+            assert got.column(c).combine_chunks().equals(
+                exp.column(c).combine_chunks()), c
+
+    def test_nulls_fall_back_to_mask(self, tmp_path):
+        from orc_rust_spark.sources.orc_reader import read_orc
+        rng = np.random.default_rng(23)
+        n = 20_000
+        vals = rng.integers(0, 10_000, n).astype(np.int64)
+        arr = pa.array(vals, mask=rng.random(n) < 0.1)
+        t = pa.table({"x": arr})
+        path = str(tmp_path / "nulls.orc")
+        po.write_table(t, path, compression="zlib", row_index_stride=5_000)
+        sel = RowSelection.from_consecutive_ranges([(7_000, 7_200)], n)
+        got = read_orc(path, row_selection=sel)
+        assert got.column("x").combine_chunks().equals(
+            t.slice(7_000, 200).column("x").combine_chunks())
+
+    def test_our_writer_in_group_trim(self, tmp_path):
+        from orc_rust_spark import write_orc
+        from orc_rust_spark.sources.orc_reader import read_orc
+        rng = np.random.default_rng(31)
+        n = 8_000
+        t = pa.table({
+            "a": pa.array(np.cumsum(rng.integers(0, 3, n)).astype(np.int64)),
+            "b": pa.array(rng.integers(0, 50, n).astype(np.int32)),
+        })
+        path = str(tmp_path / "ours.orc")
+        write_orc(path, t, compression=1, row_index_stride=1_000)
+        sel = RowSelection.from_consecutive_ranges([(2_300, 2_310)], n)
+        stats: dict = {}
+        got = read_orc(path, row_selection=sel, _stats=stats)
+        assert stats["rows_decoded"] == 10
+        exp = t.slice(2_300, 10)
+        for c in t.column_names:
+            assert got.column(c).combine_chunks().equals(
+                exp.column(c).combine_chunks()), c
+
+    def test_per_group_null_gate(self, tmp_path):
+        from orc_rust_spark.sources.orc_reader import read_orc
+        # nulls only in group 0: a selection inside group 1 still gets
+        # the leading seek (per-group has_null gate); one inside group 0
+        # falls back to the mask — both exact
+        n = 10_000
+        vals = np.arange(n, dtype=np.int64)
+        mask = np.zeros(n, dtype=bool)
+        mask[:100] = True
+        t = pa.table({"x": pa.array(vals, mask=mask)})
+        path = str(tmp_path / "gnulls.orc")
+        po.write_table(t, path, compression="zlib", row_index_stride=5_000)
+        for (a, b), trimmed in [((7_000, 7_020), 20),
+                                ((2_000, 2_020), None)]:
+            sel = RowSelection.from_consecutive_ranges([(a, b)], n)
+            stats: dict = {}
+            got = read_orc(path, row_selection=sel, _stats=stats)
+            if trimmed is not None:
+                assert stats["rows_decoded"] == trimmed, (a, b)
+            assert got.column("x").combine_chunks().equals(
+                t.slice(a, b - a).column("x").combine_chunks()), (a, b)
+
+    def test_timestamp_two_stream_seek(self, tmp_path):
+        from orc_rust_spark.sources.orc_reader import read_orc
+        rng = np.random.default_rng(41)
+        n = 12_000
+        secs = rng.integers(1_500_000_000, 1_700_000_000, n)
+        nanos = rng.integers(0, 1_000_000_000, n)
+        ts = (secs * 10**9 + nanos).astype("datetime64[ns]")
+        t = pa.table({"t": pa.array(ts)})
+        path = str(tmp_path / "ts.orc")
+        po.write_table(t, path, compression="zlib", row_index_stride=4_000)
+        sel = RowSelection.from_consecutive_ranges([(5_500, 5_600)], n)
+        stats: dict = {}
+        got = read_orc(path, row_selection=sel, _stats=stats)
+        assert stats["rows_decoded"] == 100
+        assert got.column("t").combine_chunks().equals(
+            t.slice(5_500, 100).column("t").combine_chunks())
