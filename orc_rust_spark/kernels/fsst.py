@@ -74,20 +74,35 @@ class SymbolTable:
         self._lut2 = np.full(65536, -1, dtype=np.int32)
         H = 1 << _H3_BITS
         self._h3code = np.full(H, -1, dtype=np.int32)
-        self._h3len = np.zeros(max(len(symbols), 1), dtype=np.int64)
-        self._h3key = np.zeros(max(len(symbols), 1), dtype=U64)
-        for c, s in enumerate(symbols):
-            if len(s) == 1:
-                self._lut1[s[0]] = c
-            elif len(s) == 2:
-                self._lut2[(s[0] << 8) | s[1]] = c
-            else:
-                key3 = (s[0] << 16) | (s[1] << 8) | s[2]
-                slot = ((key3 * int(_H3_MULT)) & 0xFFFFFFFF) >> (32 - _H3_BITS)
-                self._h3len[c] = len(s)
-                self._h3key[c] = _sym_key(s)
-                if self._h3code[slot] < 0:
-                    self._h3code[slot] = c
+        nsym = max(len(symbols), 1)
+        keys = np.zeros(nsym, dtype=U64)
+        lens = np.zeros(nsym, dtype=np.int64)
+        if symbols:
+            # left-aligned u64 keys + lengths for ALL symbols, one
+            # frombuffer instead of a per-symbol shift loop (train
+            # builds 5 tables per column-stripe; this loop was ~40% of
+            # its fixed cost)
+            buf = b"".join(s.ljust(MAX_LEN, b"\0") for s in symbols)
+            keys[: len(symbols)] = np.frombuffer(buf, dtype=">u8")
+            lens[: len(symbols)] = np.fromiter(
+                (len(s) for s in symbols), dtype=np.int64, count=len(symbols))
+        self._keys, self._lens = keys, lens
+        codes = np.arange(len(symbols), dtype=np.int32)
+        s1 = lens[: len(symbols)] == 1
+        self._lut1[(keys[: len(symbols)][s1] >> U64(56)).astype(np.int64)] = codes[s1]
+        s2 = lens[: len(symbols)] == 2
+        self._lut2[(keys[: len(symbols)][s2] >> U64(48)).astype(np.int64)] = codes[s2]
+        long = lens >= 3
+        # nonzero length/key ONLY for len>=3 symbols: the frontier parse
+        # gates on (_h3len > 0).any() to detect long symbols
+        self._h3len = np.where(long, lens, 0)
+        self._h3key = np.where(long, keys, U64(0))
+        s3 = long[: len(symbols)]
+        key3 = (keys[: len(symbols)][s3] >> U64(40)).astype(np.uint32)
+        slots = ((key3 * _H3_MULT) >> np.uint32(32 - _H3_BITS)).astype(np.int64)
+        # first symbol (highest gain) claims a contested slot: reversed
+        # scatter makes the earliest write the surviving one
+        self._h3code[slots[::-1]] = codes[s3][::-1]
         # per-code gather tables for the frontier parse: one gather each
         # replaces shift/or/astype chains in the per-round hot loop
         self._h3shift = ((MAX_LEN - self._h3len) * 8).astype(U64)
@@ -504,31 +519,53 @@ def train(data: np.ndarray, iterations: int = 4,
         # symbol identity per parsed token: code, or 256+byte for escapes
         sym_id = np.where(ml > 0, (mc >> np.int32(4)).astype(np.int64),
                           256 + sample[chain].astype(np.int64))
-        sym_list = table.symbols
-        id_len = np.concatenate((
-            np.array([len(s) for s in sym_list] + [0] * (256 - len(sym_list)),
-                     dtype=np.int64),
-            np.ones(256, dtype=np.int64)))
+        nsym = len(table.symbols)
+        # per-id length and left-aligned u64 byte key (ids 0..255 =
+        # codes, 256..511 = escape bytes); a counted pair concatenates
+        # to <= MAX_LEN == 8 bytes, so every candidate's BYTES fit one
+        # u64 key — merging and ranking stay entirely in numpy
+        id_len = np.zeros(512, dtype=np.int64)
+        id_len[:nsym] = table._lens[:nsym]
+        id_len[256:] = 1
+        id_key = np.zeros(512, dtype=U64)
+        id_key[:nsym] = table._keys[:nsym]
+        id_key[256:] = np.arange(256, dtype=U64) << U64(56)
 
-        def id_bytes(i: int) -> bytes:
-            return sym_list[i] if i < 256 else bytes((i - 256,))
-
-        counts: dict[bytes, int] = {}
         ids, cnt = np.unique(sym_id, return_counts=True)
-        for i, c in zip(ids.tolist(), cnt.tolist()):
-            b = id_bytes(i)
-            counts[b] = counts.get(b, 0) + int(c)
+        keys = [id_key[ids]]
+        lens = [id_len[ids]]
+        cnts = [cnt]
         if len(sym_id) > 1:
-            ok = id_len[sym_id[:-1]] + id_len[sym_id[1:]] <= MAX_LEN
-            pk = sym_id[:-1][ok] * 512 + sym_id[1:][ok]
+            a, b = sym_id[:-1], sym_id[1:]
+            ok = id_len[a] + id_len[b] <= MAX_LEN
+            pk = a[ok] * 512 + b[ok]
             pids, pcnt = np.unique(pk, return_counts=True)
-            for p, c in zip(pids.tolist(), pcnt.tolist()):
-                b = id_bytes(p // 512) + id_bytes(p % 512)
-                counts[b] = counts.get(b, 0) + int(c)
-        # keep highest-gain candidates
-        ranked = sorted(counts.items(),
-                        key=lambda kv: (-(kv[1] * len(kv[0])), kv[0]))
-        table = SymbolTable([s for s, _ in ranked[:MAX_SYMBOLS]])
+            pa, pb = pids // 512, pids % 512
+            la = id_len[pa]
+            keys.append(id_key[pa] | (id_key[pb] >> (la.astype(U64) * U64(8))))
+            lens.append(la + id_len[pb])
+            cnts.append(pcnt)
+        k = np.concatenate(keys)
+        ln = np.concatenate(lens)
+        c = np.concatenate(cnts)
+        # merge candidates with identical bytes — identity is (key, len):
+        # a key's trailing zero padding is ambiguous between b"x" and
+        # b"x\x00", so length disambiguates
+        order = np.lexsort((ln, k))
+        k, ln, c = k[order], ln[order], c[order]
+        first = np.empty(len(k), dtype=bool)
+        if len(k):
+            first[0] = True
+            np.logical_or(k[1:] != k[:-1], ln[1:] != ln[:-1], out=first[1:])
+        starts = np.nonzero(first)[0]
+        mk, ml = k[starts], ln[starts]
+        mc_ = np.add.reduceat(c, starts) if len(starts) else c
+        # rank by (-gain, bytes): lexicographic byte order of <=8-byte
+        # strings equals numeric order of the left-aligned key, with
+        # length breaking the prefix/padding tie (shorter first)
+        top = np.lexsort((ml, mk, -(mc_ * ml)))[:MAX_SYMBOLS]
+        table = SymbolTable([int(mk[i]).to_bytes(MAX_LEN, "big")[: ml[i]]
+                             for i in top.tolist()])
     return table
 
 

@@ -262,8 +262,16 @@ def _encode_string_auto(arr: pa.Array) -> tuple[int, int, dict[int, bytes]]:
     # table trains ONCE on the leading 16 KiB — `fsst_compress(probe)`
     # would train on exactly the same bytes, so reusing the table for
     # the probe estimate and the full encode is byte-identical while
-    # skipping a duplicate train + probe parse per stripe
-    if len(data_blob) >= 2048:
+    # skipping a duplicate train + probe parse per stripe.
+    # Skipped entirely when dictionary already compresses >= 8x: one
+    # FSST code covers at most MAX_LEN == 8 input bytes, so 8x is
+    # FSST's ceiling on the DATA stream before table overhead — it
+    # cannot beat such a dictionary, and training it was a pure
+    # per-stripe fixed cost on low-cardinality columns.  RLEv2/dict
+    # stay in the race, so chosen size remains <= the reference's.
+    dict_crushed = codec == C_STRING_DICT and \
+        sum(len(s) for s in streams.values()) * 8 <= direct_size
+    if len(data_blob) >= 2048 and not dict_crushed:
         from .kernels.fsst import fsst_compress_with, fsst_train
         data_np = np.frombuffer(data_blob, dtype=np.uint8)
         table = fsst_train(data_np)
