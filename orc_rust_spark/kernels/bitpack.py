@@ -43,11 +43,10 @@ def pack_ints(values: np.ndarray, width: int) -> bytes:
             return be[:, 4 - nbytes:].tobytes()
         be = v.astype(">u8").view(np.uint8).reshape(n, 8)
         return be[:, 8 - nbytes :].tobytes()
-    # general path: expand each value to `width` bits, MSB first
-    one = v.dtype.type(1)
-    shifts = np.arange(width - 1, -1, -1, dtype=v.dtype)
-    bits = ((v[:, None] >> shifts) & one).astype(np.uint8)
-    return np.packbits(bits.reshape(-1)).tobytes()
+    # general path: one segment through the u64 group fold
+    lens = np.array([n], dtype=np.int64)
+    offs = np.array([0, (n * width + 7) // 8], dtype=np.int64)
+    return _pack_groups8(v, lens, width, offs)
 
 
 def unpack_ints(buf, pos: int, n: int, width: int) -> tuple[np.ndarray, int]:
@@ -77,11 +76,9 @@ def unpack_ints(buf, pos: int, n: int, width: int) -> tuple[np.ndarray, int]:
     total_bits = n * width
     total_bytes = (total_bits + 7) // 8
     raw = np.frombuffer(buf, dtype=np.uint8, count=total_bytes, offset=pos)
-    bits = np.unpackbits(raw)[:total_bits].reshape(n, width)
-    vals = np.zeros(n, dtype=U64)
-    for j in range(width):
-        vals = (vals << U64(1)) | bits[:, j].astype(U64)
-    return vals, pos + total_bytes
+    lens = np.array([n], dtype=np.int64)
+    byte_lens = np.array([total_bytes], dtype=np.int64)
+    return _unpack_groups8(raw, lens, byte_lens, width, n), pos + total_bytes
 
 
 def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
@@ -103,37 +100,19 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
     n = len(v)
     if n == 0:
         return b"", offs
-    if width <= 16:
-        return _pack_groups8(v, lens, width, offs), offs
-    starts = np.zeros(K, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    # int32 index domain halves scatter traffic; guard on total bit
-    # count so a >2^31-bit pack falls back to exact int64 arithmetic.
-    # one repeat of the per-segment constant (offs*8 - starts*width)
-    # replaces the two full-length repeats of the naive form
-    it = np.int32 if int(offs[-1]) * 8 + width < 2**31 else np.int64
-    val_bit = (np.arange(n, dtype=it) * it(width)
-               + np.repeat((offs[:-1] * 8 - starts * width).astype(it),
-                           lens))
-    bits = np.zeros(int(offs[-1]) * 8, dtype=np.uint8)
-    # one scatter per bit position keeps peak memory at O(n), not O(n*w);
-    # uint32 value domain for the common width<=32 case (values fit
-    # `width` bits by precondition)
-    vv = v.astype(np.uint32) if width <= 32 and v.dtype != np.uint32 else v
-    one = vv.dtype.type(1)
-    for k in range(width):
-        bits[val_bit + k] = ((vv >> vv.dtype.type(width - 1 - k)) & one) \
-            .astype(np.uint8)
-    return np.packbits(bits).tobytes(), offs
+    return _pack_groups8(v, lens, width, offs), offs
 
 
 def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
                   offs: np.ndarray) -> bytes:
-    """Segmented pack for width <= 16 via u64 group assembly: 8 values of
-    w bits are exactly w bytes, so each zero-padded 8-value group folds
-    into one u64 (two for w > 8) with 8 shift-adds over n/8-sized arrays
-    — far less memory traffic than the per-bit scatter path (the
-    patched-base stripped-value pack at w=4..7 dominated token encode).
+    """Segmented pack for any non-byte-aligned width via u64 group
+    assembly: 8 values of w bits are exactly w bytes, so each zero-padded
+    8-value group folds into ceil(w/8) u64 words with 8 shift-adds over
+    n/8-sized arrays — far less memory traffic than a per-bit scatter
+    (`width` passes over n-sized index arrays; at w=17..23, the vocab
+    zigzag widths of token streams, that was most of direct-block cost).
+    A value of width <= 64 bits straddles at most two adjacent words, so
+    every (i, word) shift pair is a compile-time constant of the loop.
 
     The common shape — every segment a multiple of 8 values (512-value
     RLEv2 blocks) — skips the padding scatter and truncation mask
@@ -163,23 +142,23 @@ def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
             word |= gm[:, i] << U64(64 - (i + 1) * width)
         gbytes = word.astype(">u8").view(np.uint8).reshape(-1, 8)[:, :width]
     else:
-        # 8 values span 8w <= 128 bits: word A holds bits [0, 64),
-        # word B bits [64, 8w) of the group's big-endian stream
-        A = np.zeros(gm.shape[0], dtype=U64)
-        B = np.zeros(gm.shape[0], dtype=U64)
+        # 8 values span 8w bits across nw = ceil(w/8) u64 words; value i
+        # occupies bits [i*w, (i+1)*w) of the group's big-endian stream
+        nw = (width + 7) // 8
+        words = [np.zeros(gm.shape[0], dtype=U64) for _ in range(nw)]
         for i in range(8):
             lo, hi = i * width, (i + 1) * width
-            if hi <= 64:
-                A |= gm[:, i] << U64(64 - hi)
-            elif lo >= 64:
-                B |= gm[:, i] << U64(128 - hi)
-            else:  # straddles the word boundary
-                A |= gm[:, i] >> U64(hi - 64)
-                B |= gm[:, i] << U64(128 - hi)
+            wlo, whi = lo // 64, (hi - 1) // 64
+            if wlo == whi:
+                words[wlo] |= gm[:, i] << U64(64 * (wlo + 1) - hi)
+            else:  # straddles a word boundary
+                words[wlo] |= gm[:, i] >> U64(hi - 64 * (wlo + 1))
+                words[whi] |= gm[:, i] << U64(64 * (whi + 1) - hi)
         gbytes = np.empty((gm.shape[0], width), dtype=np.uint8)
-        gbytes[:, :8] = A.astype(">u8").view(np.uint8).reshape(-1, 8)
-        gbytes[:, 8:] = B.astype(">u8").view(np.uint8) \
-            .reshape(-1, 8)[:, : width - 8]
+        for j in range(nw):
+            take = min(8, width - j * 8)
+            bj = words[j].astype(">u8").view(np.uint8).reshape(-1, 8)
+            gbytes[:, j * 8: j * 8 + take] = bj[:, :take]
     if aligned_lens:
         return gbytes.tobytes()
     # per-segment truncation: padded groups emit ceil(lens/8)*w bytes,
@@ -218,34 +197,18 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
         out = np.zeros((n, 8), dtype=np.uint8)
         out[:, 8 - nbytes:] = r.reshape(n, nbytes)
         return out.reshape(-1).view(">u8").astype(U64)
-    K = len(lens)
     byte_lens = (lens * width + 7) // 8
-    if width <= 16:
-        return _unpack_groups8(np.asarray(raw, dtype=np.uint8), lens,
-                               byte_lens, width, n)
-    offs = np.zeros(K, dtype=np.int64)
-    np.cumsum(byte_lens[:-1], out=offs[1:])
-    starts = np.zeros(K, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    total_bits = int(offs[-1] + byte_lens[-1]) * 8
-    it = np.int32 if total_bits + width < 2**31 else np.int64
-    val_bit = (np.arange(n, dtype=it) * it(width)
-               + np.repeat((offs * 8 - starts * width).astype(it), lens))
-    bits = np.unpackbits(np.asarray(raw, dtype=np.uint8))
-    # accumulate in uint32 when the value fits, widening once at the end
-    acc_t = np.uint32 if width <= 32 else U64
-    vals = np.zeros(n, dtype=acc_t)
-    for k in range(width):
-        vals |= bits[val_bit + k].astype(acc_t) << acc_t(width - 1 - k)
-    return vals.astype(U64)
+    return _unpack_groups8(np.asarray(raw, dtype=np.uint8), lens,
+                           byte_lens, width, n)
 
 
 def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
                     byte_lens: np.ndarray, width: int, n: int) -> np.ndarray:
-    """Inverse of `_pack_groups8` for width <= 16: each 8-value group is
-    exactly `width` bytes — fold them into one u64 (two for w > 8) and
-    extract the 8 values with shifts, instead of the per-bit loop's
-    `width` scatter passes + 8x unpackbits expansion."""
+    """Inverse of `_pack_groups8` for any non-byte-aligned width: each
+    8-value group is exactly `width` bytes — fold them into ceil(w/8)
+    u64 words and extract the 8 values with constant shifts (a w<=64
+    value straddles at most two words), instead of the per-bit loop's
+    `width` gather passes + 8x unpackbits expansion."""
     K = len(lens)
     groups = (lens + 7) // 8
     n_pad_bytes = int(groups.sum()) * width
@@ -275,21 +238,24 @@ def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
         for i in range(8):
             vals8[:, i] = (word >> U64(64 - (i + 1) * width)) & mask
     else:
-        gm[:, :] = gb[:, :8]
-        A = gm.reshape(-1).view(">u8").astype(U64)
-        gm2 = np.zeros((m, 8), dtype=np.uint8)
-        gm2[:, : width - 8] = gb[:, 8:]
-        B = gm2.reshape(-1).view(">u8").astype(U64)
+        nw = (width + 7) // 8
+        W = []
+        for j in range(nw):
+            take = min(8, width - j * 8)
+            gmj = gm if j == 0 else np.zeros((m, 8), dtype=np.uint8)
+            gmj[:, :take] = gb[:, j * 8: j * 8 + take]
+            if take < 8:
+                gmj[:, take:] = 0
+            W.append(gmj.reshape(-1).view(">u8").astype(U64))
         vals8 = np.empty((m, 8), dtype=U64)
         for i in range(8):
             lo, hi = i * width, (i + 1) * width
-            if hi <= 64:
-                vals8[:, i] = (A >> U64(64 - hi)) & mask
-            elif lo >= 64:
-                vals8[:, i] = (B >> U64(128 - hi)) & mask
+            wlo, whi = lo // 64, (hi - 1) // 64
+            if wlo == whi:
+                vals8[:, i] = (W[wlo] >> U64(64 * (wlo + 1) - hi)) & mask
             else:
-                vals8[:, i] = ((A << U64(hi - 64))
-                               | (B >> U64(128 - hi))) & mask
+                vals8[:, i] = ((W[wlo] << U64(hi - 64 * (wlo + 1)))
+                               | (W[whi] >> U64(64 * (whi + 1) - hi))) & mask
     flat = vals8.reshape(-1)
     if aligned:
         return flat[:n]
