@@ -1021,7 +1021,8 @@ def _varint_values(pad: np.ndarray, q: np.ndarray,
 
 
 def rle_v2_decode_batch(buf, n: int, signed: bool = True,
-                        exact: bool = True) -> np.ndarray:
+                        exact: bool = True,
+                        out_dtype=I64) -> np.ndarray:
     """Sequential header scan (cheap per block: only sizes advance it —
     all per-block VALUE parsing is deferred to vectorized post-passes
     over the recorded positions; a fully speculative vectorized scan
@@ -1029,13 +1030,18 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
 
     ``exact=False`` tolerates the final block overshooting n (a
     row-group slice of an externally written stream ends mid-block);
-    the result is truncated to n."""
+    the result is truncated to n.
+
+    ``out_dtype`` narrows the OUTPUT array only (callers that know the
+    column is int32/int16 skip a full astype pass and halve the write
+    traffic of the largest array here); every decoded value must fit
+    the dtype — the scatter assignments truncate silently otherwise."""
     if n == 0:
-        return np.empty(0, dtype=I64)
+        return np.empty(0, dtype=out_dtype)
     buf = memoryview(buf)
     raw = np.frombuffer(buf, dtype=np.uint8)
     # +512 slack: one RLEv2 block holds at most 512 values
-    out = np.empty(n + 512, dtype=I64)
+    out = np.empty(n + 512, dtype=out_dtype)
 
     # per-kind accumulators (positions only; values extracted later)
     sr_off: list[int] = []

@@ -194,16 +194,22 @@ def encode_int_auto(values: np.ndarray, candidates: tuple[int, ...] = (C_RLEV2, 
     return best_codec, best
 
 
-def _decode_int(codec: int, buf: bytes, n: int) -> np.ndarray:
+def _decode_int(codec: int, buf: bytes, n: int,
+                out_dtype=np.int64) -> np.ndarray:
+    """``out_dtype`` lets int32/int16 columns decode straight into their
+    narrow dtype (the values fit by construction — they were encoded
+    from that dtype), skipping a full-length astype pass."""
     if codec == C_RLEV2:
-        return rle_v2_decode(buf, n, signed=True)
+        return rle_v2_decode(buf, n, signed=True, out_dtype=out_dtype)
     if codec == C_FOR:
-        return for_decode(buf)
-    if codec == C_BITPACK:
-        return bitpack_decode(buf)
-    if codec == C_INT_DICT:
-        return int_dict_decode(buf)
-    raise ValueError(f"unknown int codec {codec}")
+        vals = for_decode(buf)
+    elif codec == C_BITPACK:
+        vals = bitpack_decode(buf)
+    elif codec == C_INT_DICT:
+        vals = int_dict_decode(buf)
+    else:
+        raise ValueError(f"unknown int codec {codec}")
+    return vals if out_dtype == np.int64 else vals.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -609,7 +615,8 @@ def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
     if tcode == T_LIST_INT32:
         row_lengths = rle_v2_decode(stream(K_LENGTH), n_valid, signed=False)
         total = int(row_lengths.sum())
-        child = _decode_int(codec, stream(K_DATA), total).astype(np.int32)
+        child = _decode_int(codec, stream(K_DATA), total,
+                            out_dtype=np.int32)
         offsets, mask = _list_offsets(row_lengths, validity, n, n_valid)
         return pa.ListArray.from_arrays(
             offsets, pa.array(child, pa.int32()), mask=mask), mi + 1
@@ -634,7 +641,9 @@ def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
         us = timestamp_decode_us(stream(K_DATA), stream(K_SECONDARY), n_valid)
         arr = _respace_primitive(us, validity, n, atype)
     elif tcode in _INT_TYPES:
-        vals = _decode_int(codec, stream(K_DATA), n_valid)
+        nd = np.int32 if tcode in (T_INT32, T_DATE32) else \
+            np.int16 if tcode == T_INT16 else np.int64
+        vals = _decode_int(codec, stream(K_DATA), n_valid, out_dtype=nd)
         arr = _respace_primitive(vals, validity, n, atype)
     elif tcode == T_INT8:
         vals = byte_rle_decode(stream(K_DATA), n_valid).view(np.int8)
@@ -948,7 +957,7 @@ def _respace_primitive(vals: np.ndarray, validity, n_rows: int, atype) -> pa.Arr
         out = np.zeros(n_rows, dtype=bool)
         out[validity] = vals.astype(bool)
         return pa.array(out, type=atype, mask=~validity)
-    out = np.zeros(n_rows, dtype=np.int64)
+    out = np.zeros(n_rows, dtype=vals.dtype)
     out[validity] = vals
     return pa.array(out, type=atype, mask=~validity)
 
@@ -995,11 +1004,12 @@ def _decode_string(codec, aux, stream, n_valid, validity, n_rows, atype) -> pa.A
             pa.large_binary(), dict_size,
             [None, pa.py_buffer(doffsets.tobytes()), pa.py_buffer(bytes(dblob))],
         ).cast(pa.binary())
-        indices = rle_v2_decode(stream(K_DATA), n_valid, signed=False)
+        indices = rle_v2_decode(stream(K_DATA), n_valid, signed=False,
+                                out_dtype=np.int32)
         if validity is None:
             darr = pa.DictionaryArray.from_arrays(pa.array(indices, pa.int32()), dictionary)
             return darr.cast(atype)
-        full_idx = np.zeros(n_rows, dtype=np.int64)
+        full_idx = np.zeros(n_rows, dtype=np.int32)
         full_idx[validity] = indices
         darr = pa.DictionaryArray.from_arrays(
             pa.array(full_idx, pa.int32(), mask=~validity), dictionary)
