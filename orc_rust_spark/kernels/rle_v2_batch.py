@@ -960,7 +960,7 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
 # unpack + positional scatter.  Value-identical to `rle_v2.rle_v2_decode`.
 # ---------------------------------------------------------------------------
 
-from .bitpack import packed_byte_len, unpack_ints, unpack_ints_segmented  # noqa: E402
+from .bitpack import unpack_ints_segmented  # noqa: E402
 from .rle_v2 import _HDR_DELTA, _HDR_SHORT_REPEAT  # noqa: E402
 from .util import (  # noqa: E402
     rle_v2_decode_bit_width,
@@ -972,24 +972,17 @@ from .util import (  # noqa: E402
 _DECODE_BW_PY = [rle_v2_decode_bit_width(c) for c in range(32)]
 
 
-def _concat_spans(raw: np.ndarray, spans) -> np.ndarray:
-    """Concatenate byte ranges of the stream buffer without building
-    intermediate bytes objects (zero-copy views into `raw`)."""
-    return np.concatenate([raw[p: p + nb] for p, nb in spans]) \
-        if spans else np.empty(0, dtype=np.uint8)
-
-
-def _scatter(out: np.ndarray, offsets: list[int], lens: list[int],
+def _scatter(out: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
              vals: np.ndarray) -> None:
     """Write concatenated per-block values to their output positions
     (int32 index arithmetic when the output fits — pure memory
     traffic; int64 fallback past 2^31 values)."""
     it = np.int32 if len(out) < 2**31 else np.int64
-    off = np.array(offsets, dtype=it)
-    ln = np.array(lens, dtype=it)
+    off = np.asarray(offsets).astype(it, copy=False)
+    ln = np.asarray(lens).astype(it, copy=False)
     starts = np.zeros(len(ln), dtype=it)
     np.cumsum(ln[:-1], out=starts[1:])
-    total = int(np.asarray(lens, dtype=np.int64).sum())
+    total = int(ln.sum(dtype=np.int64))
     idx = np.arange(total, dtype=it) + np.repeat(off - starts, ln)
     out[idx] = vals
 
@@ -1020,13 +1013,43 @@ def _varint_values(pad: np.ndarray, q: np.ndarray,
     return out
 
 
+def _gather_spans(pad: np.ndarray, starts: np.ndarray,
+                  nbs: np.ndarray) -> np.ndarray:
+    """Concatenate byte ranges [starts[i], starts[i]+nbs[i]) of the
+    padded stream buffer with one fancy-index gather — O(total bytes),
+    no per-span Python slices."""
+    it = np.int32 if len(pad) < 2**31 else np.int64
+    nbs = nbs.astype(it, copy=False)
+    tot = int(nbs.sum(dtype=np.int64))
+    st = np.zeros(len(nbs), dtype=it)
+    np.cumsum(nbs[:-1], out=st[1:])
+    idx = np.arange(tot, dtype=it) \
+        + np.repeat(starts.astype(it, copy=False) - st, nbs)
+    return pad[idx]
+
+
+# header-walk LUTs indexed by the FULL header byte (or, for the
+# patched-base patch-word width, by ((third & 0x1F) << 3) | (fourth >> 5)):
+# the sequential scan's only job is advancing pos/got, so everything
+# derivable from the fixed header bytes is a C-speed list lookup
+_SR_LEN_PY = [(h & 0x07) + 3 for h in range(256)]
+_SR_ADV_PY = [2 + ((h >> 3) & 0x07) for h in range(256)]
+_HW_PY = [_DECODE_BW_PY[(h >> 1) & 0x1F] for h in range(256)]
+_HW0_PY = [0 if ((h >> 1) & 0x1F) == 0 else _DECODE_BW_PY[(h >> 1) & 0x1F]
+           for h in range(256)]
+_PBW_PY = [get_closest_fixed_bits(
+    min(_DECODE_BW_PY[i >> 3] + (i & 0x07) + 1, 64)) for i in range(256)]
+_BW_NP = np.array(_DECODE_BW_PY, dtype=np.int64)
+_PBW_NP = np.array(_PBW_PY, dtype=np.int64)
+
+
 def rle_v2_decode_batch(buf, n: int, signed: bool = True,
                         exact: bool = True,
                         out_dtype=I64) -> np.ndarray:
-    """Sequential header scan (cheap per block: only sizes advance it —
-    all per-block VALUE parsing is deferred to vectorized post-passes
-    over the recorded positions; a fully speculative vectorized scan
-    was tried and lost, see git history).
+    """Sequential header scan (one list append per block: only sizes
+    advance it — every per-block FIELD parse is deferred to vectorized
+    gathers over the recorded block-start positions; a fully
+    speculative vectorized scan was tried and lost, see git history).
 
     ``exact=False`` tolerates the final block overshooting n (a
     row-group slice of an externally written stream ends mid-block);
@@ -1043,168 +1066,121 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
     # +512 slack: one RLEv2 block holds at most 512 values
     out = np.empty(n + 512, dtype=out_dtype)
 
-    # per-kind accumulators (positions only; values extracted later)
-    sr_off: list[int] = []
-    sr_len: list[int] = []
-    sr_pos: list[int] = []
-    sr_bw: list[int] = []
-    dl_off: list[int] = []   # all delta blocks, in scan order
-    dl_len: list[int] = []
-    dl_w: list[int] = []     # 0 = fixed delta
-    dl_q1: list[int] = []    # base-varint start
-    dl_b1: list[int] = []    # base-varint byte count
-    dl_b2: list[int] = []    # delta-varint byte count
-    dl_dp: list[int] = []    # packed-deltas position (VD only; else 0)
-    dir_g: dict[int, tuple[list[int], list[int], list[tuple[int, int]]]] = {}
-    pb_off: list[int] = []
-    pb_len: list[int] = []
-    pb_w: list[int] = []
-    pb_bpos: list[int] = []  # base MSB-int position
-    pb_bbw: list[int] = []
-    pb_dpos: list[int] = []  # packed data position
-    pb_dnb: list[int] = []
-    pb_ppos: list[int] = []  # packed patch-words position
-    pb_pnb: list[int] = []
-    pb_pl: list[int] = []    # patch list length
-    pb_pw: list[int] = []    # patch word width
-    pb_paw: list[int] = []   # patch value width
-
-    # The walk is per-block Python BY DESIGN (a speculative vectorized
-    # scan lost to it, see git history); on run-dense token streams a
-    # block averages ~20 bytes, so the constant factor per iteration IS
-    # the decode throughput.  bytes.__getitem__ beats memoryview
-    # indexing, a 32-entry list LUT beats the bit-width call ~3x, the
-    # byte-length formula is inlined ((n*w+7)>>3 equals the aligned
-    # form for every w), and append methods are pre-bound.
+    # --- sequential header walk -------------------------------------
+    # bytes.__getitem__ beats memoryview indexing, the byte-length
+    # formula is inlined ((n*w+7)>>3 equals the aligned form for every
+    # w), and on run-dense token streams a block averages ~20 bytes, so
+    # the constant factor per iteration IS the decode throughput.
     bb = bytes(buf)
-    bwl = _DECODE_BW_PY
-    sr_off_a = sr_off.append
-    sr_len_a = sr_len.append
-    sr_pos_a = sr_pos.append
-    sr_bw_a = sr_bw.append
-    dl_off_a = dl_off.append
-    dl_len_a = dl_len.append
-    dl_w_a = dl_w.append
-    dl_q1_a = dl_q1.append
-    dl_b1_a = dl_b1.append
-    dl_b2_a = dl_b2.append
-    dl_dp_a = dl_dp.append
-    dir_get = dir_g.get
-
+    sr_len_l = _SR_LEN_PY
+    sr_adv_l = _SR_ADV_PY
+    hw_l = _HW_PY
+    hw0_l = _HW0_PY
+    pbw_l = _PBW_PY
+    posl: list[int] = []
+    app = posl.append
     got = 0
     pos = 0
     while got < n:
-        header = bb[pos]
-        pos += 1
-        kind = header & 0xC0
-        if kind == _HDR_SHORT_REPEAT:
-            byte_width = ((header >> 3) & 0x07) + 1
-            run_length = (header & 0x07) + 3
-            sr_off_a(got)
-            sr_len_a(run_length)
-            sr_pos_a(pos)
-            sr_bw_a(byte_width)
-            pos += byte_width
-            got += run_length
-        elif kind == _HDR_DIRECT:
-            w = bwl[(header >> 1) & 0x1F]
-            length = (((header & 0x01) << 8) | bb[pos]) + 1
-            pos += 1
-            nb = (length * w + 7) >> 3
-            grp = dir_get(w)
-            if grp is None:
-                grp = dir_g[w] = ([], [], [])
-            grp[0].append(got)
-            grp[1].append(length)
-            grp[2].append((pos, nb))
-            pos += nb
+        h = bb[pos]
+        app(pos)
+        kind = h & 0xC0
+        if kind == 0x00:            # short repeat
+            got += sr_len_l[h]
+            pos += sr_adv_l[h]
+        elif kind == 0x80:          # patched base
+            length = (((h & 0x01) << 8) | bb[pos + 1]) + 1
+            third = bb[pos + 2]
+            fourth = bb[pos + 3]
+            pos += (5 + ((third >> 5) & 0x07)
+                    + ((length * hw_l[h] + 7) >> 3)
+                    + (((fourth & 0x1F)
+                        * pbw_l[((third & 0x1F) << 3) | (fourth >> 5)]
+                        + 7) >> 3))
             got += length
-        elif kind == _HDR_DELTA:
-            ew = (header >> 1) & 0x1F
-            w = 0 if ew == 0 else bwl[ew]
-            length = (((header & 0x01) << 8) | bb[pos]) + 1
-            pos += 1
-            q1 = pos
-            while bb[pos] & 0x80:
-                pos += 1
-            pos += 1
-            b1 = pos - q1
-            q2 = pos
-            while bb[pos] & 0x80:
-                pos += 1
-            pos += 1
-            dl_off_a(got)
-            dl_len_a(length)
-            dl_w_a(w)
-            dl_q1_a(q1)
-            dl_b1_a(b1)
-            dl_b2_a(pos - q2)
-            if w == 0:
-                dl_dp_a(0)
-            else:
-                dl_dp_a(pos)
-                pos += ((length - 2) * w + 7) >> 3
+        elif kind == 0x40:          # direct
+            length = (((h & 0x01) << 8) | bb[pos + 1]) + 1
+            pos += 2 + ((length * hw_l[h] + 7) >> 3)
             got += length
-        else:  # patched base
-            value_w = bwl[(header >> 1) & 0x1F]
-            length = (((header & 0x01) << 8) | bb[pos]) + 1
-            pos += 1
-            third = bb[pos]
-            fourth = bb[pos + 1]
-            pos += 2
-            base_bw = ((third >> 5) & 0x07) + 1
-            patch_w = bwl[third & 0x1F]
-            gap_w = ((fourth >> 5) & 0x07) + 1
-            plist_len = fourth & 0x1F
-            pw = get_closest_fixed_bits(patch_w + gap_w)
-            data_nb = (length * value_w + 7) >> 3
-            patch_nb = (plist_len * pw + 7) >> 3
-            pb_off.append(got)
-            pb_len.append(length)
-            pb_w.append(value_w)
-            pb_bpos.append(pos)
-            pb_bbw.append(base_bw)
-            pb_dpos.append(pos + base_bw)
-            pb_dnb.append(data_nb)
-            pb_ppos.append(pos + base_bw + data_nb)
-            pb_pnb.append(patch_nb)
-            pb_pl.append(plist_len)
-            pb_pw.append(pw)
-            pb_paw.append(patch_w)
-            pos += base_bw + data_nb + patch_nb
+        else:                       # delta: skip base + delta varints
+            length = (((h & 0x01) << 8) | bb[pos + 1]) + 1
+            p = pos + 2
+            while bb[p] & 0x80:
+                p += 1
+            p += 1
+            while bb[p] & 0x80:
+                p += 1
+            p += 1
+            w = hw0_l[h]
+            pos = p + (((length - 2) * w + 7) >> 3) if w else p
             got += length
     if exact and got != n:
         raise ValueError(f"decoded {got} values, expected {n}")
 
-    pad = None
-    if sr_off or dl_off or pb_off:
-        pad = np.zeros(len(raw) + 16, dtype=np.uint8)
-        pad[:len(raw)] = raw
+    # --- vectorized field derivation from the block starts -----------
+    # +24 pad: 8 for _window_u64, 20 for the delta varint windows
+    pad = np.zeros(len(raw) + 24, dtype=np.uint8)
+    pad[:len(raw)] = raw
+    pos_a = np.array(posl, dtype=np.int64)
+    hh = pad[pos_a].astype(np.int64)
+    kk = hh >> 6
+    second = pad[pos_a + 1].astype(np.int64)
+    ln_a = np.where(kk == 0, (hh & 7) + 3, ((hh & 1) << 8 | second) + 1)
+    off_a = np.zeros(len(pos_a), dtype=np.int64)
+    np.cumsum(ln_a[:-1], out=off_a[1:])
+    ww = _BW_NP[(hh >> 1) & 0x1F]
 
-    # --- materialize groups ---
-    if sr_off:
-        bwv = np.array(sr_bw, dtype=np.int64)
-        vals_u = _window_u64(pad, np.array(sr_pos, dtype=np.int64)) \
-            >> ((8 - bwv) * 8).astype(U64)
+    # short repeat: big-endian value bytes at pos+1
+    m = kk == 0
+    if m.any():
+        bwv = ((hh[m] >> 3) & 7) + 1
+        vals_u = _window_u64(pad, pos_a[m] + 1) >> ((8 - bwv) * 8).astype(U64)
         vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
-        ln = np.array(sr_len, dtype=np.int64)
-        _scatter(out, sr_off, sr_len, np.repeat(vals, ln))
-    for w, (offs, lens_, spans) in dir_g.items():
-        lens_a = np.array(lens_, dtype=np.int64)
-        vals_u = unpack_ints_segmented(_concat_spans(raw, spans), lens_a, w)
-        vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
-        _scatter(out, offs, lens_, vals)
-    if dl_off:
-        q1 = np.array(dl_q1, dtype=np.int64)
-        b1 = np.array(dl_b1, dtype=np.int64)
-        b2 = np.array(dl_b2, dtype=np.int64)
+        lnm = ln_a[m]
+        _scatter(out, off_a[m], lnm, np.repeat(vals, lnm))
+
+    # direct, grouped by width
+    m = kk == 1
+    if m.any():
+        w_d = ww[m]
+        ln_d = ln_a[m]
+        off_d = off_a[m]
+        st_d = pos_a[m] + 2
+        nb_d = (ln_d * w_d + 7) >> 3
+        order = np.argsort(w_d, kind="stable")
+        w_s = w_d[order]
+        g0 = 0
+        while g0 < len(order):
+            w = int(w_s[g0])
+            g1 = int(np.searchsorted(w_s, w, side="right"))
+            sel = order[g0:g1]
+            vals_u = unpack_ints_segmented(
+                _gather_spans(pad, st_d[sel], nb_d[sel]), ln_d[sel], w)
+            vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
+            _scatter(out, off_d[sel], ln_d[sel], vals)
+            g0 = g1
+
+    # delta: varint spans recovered from the continuation bits in one
+    # 20-byte window gather per block (two u64 varints are <= 20 bytes)
+    m = kk == 3
+    if m.any():
+        from numpy.lib.stride_tricks import sliding_window_view
+        q1 = pos_a[m] + 2
+        win = sliding_window_view(pad, 20)[q1]
+        cont = (win & 0x80) != 0
+        b1 = np.argmax(~cont[:, :10], axis=1) + 1
+        rows = np.arange(len(q1))[:, None]
+        b2 = np.argmax(~cont[rows, b1[:, None] + np.arange(10)[None, :]],
+                       axis=1) + 1
         base_u = _varint_values(pad, q1, b1)
         delta_u = _varint_values(pad, q1 + b1, b2)
         base = zigzag_decode(base_u) if signed else base_u.view(I64)
         delta = zigzag_decode(delta_u)
-        wl = np.array(dl_w, dtype=np.int64)
-        ln_l = np.array(dl_len, dtype=np.int64)
-        off_l = np.array(dl_off, dtype=np.int64)
+        code_d = (hh[m] >> 1) & 0x1F
+        wl = np.where(code_d == 0, 0, ww[m])
+        ln_l = ln_a[m]
+        off_l = off_a[m]
+        dp = q1 + b1 + b2
         fdm = wl == 0
         if fdm.any():
             ln = ln_l[fdm]
@@ -1213,7 +1189,7 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             total = int(ln.sum())
             pos_in = np.arange(total, dtype=np.int64) - np.repeat(starts, ln)
             vals = np.repeat(base[fdm], ln) + pos_in * np.repeat(delta[fdm], ln)
-            _scatter(out, off_l[fdm].tolist(), ln.tolist(), vals)
+            _scatter(out, off_l[fdm], ln, vals)
         vdm = ~fdm
         if vdm.any():
             wv = wl[vdm]
@@ -1222,46 +1198,50 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             basev = base[vdm]
             deltav = delta[vdm]
             signv = np.where(deltav > 0, np.int64(1), np.int64(-1))
-            dpos = np.array(dl_dp, dtype=np.int64)[vdm]
+            dpos = dp[vdm]
             order = np.argsort(wv, kind="stable")
             wv, lnv, offv = wv[order], lnv[order], offv[order]
             basev, deltav, signv, dpos = (basev[order], deltav[order],
                                           signv[order], dpos[order])
+            dnb = ((lnv - 2) * wv + 7) >> 3
             g0 = 0
             while g0 < len(wv):
                 w = int(wv[g0])
                 g1 = int(np.searchsorted(wv, w, side="right"))
                 dlens = lnv[g0:g1] - 2
-                spans = [(int(p), packed_byte_len(int(x), w)) for p, x in
-                         zip(dpos[g0:g1], dlens)]
-                deltas = unpack_ints_segmented(_concat_spans(raw, spans),
-                                               dlens, w).view(I64)
+                deltas = unpack_ints_segmented(
+                    _gather_spans(pad, dpos[g0:g1], dnb[g0:g1]),
+                    dlens, w).view(I64)
                 signs = np.repeat(signv[g0:g1], dlens)
                 sd = deltas * signs
                 c = np.cumsum(sd)
                 starts = np.zeros(len(dlens), dtype=np.int64)
                 np.cumsum(dlens[:-1], out=starts[1:])
                 base_corr = np.where(starts > 0, c[starts - 1], 0)
-                second = basev[g0:g1] + signv[g0:g1] * np.abs(deltav[g0:g1])
-                vals_tail = np.repeat(second - base_corr, dlens) + c
-                _scatter(out, (offv[g0:g1] + 2).tolist(), dlens.tolist(),
-                         vals_tail)
+                second_v = basev[g0:g1] + signv[g0:g1] * np.abs(deltav[g0:g1])
+                vals_tail = np.repeat(second_v - base_corr, dlens) + c
+                _scatter(out, offv[g0:g1] + 2, dlens, vals_tail)
                 out[offv[g0:g1]] = basev[g0:g1]
-                out[offv[g0:g1] + 1] = second
+                out[offv[g0:g1] + 1] = second_v
                 g0 = g1
-    if pb_off:
-        wp = np.array(pb_w, dtype=np.int64)
-        ln_p = np.array(pb_len, dtype=np.int64)
-        off_p = np.array(pb_off, dtype=np.int64)
-        bwp = np.array(pb_bbw, dtype=np.int64)
-        bpos = np.array(pb_bpos, dtype=np.int64)
-        dpos = np.array(pb_dpos, dtype=np.int64)
-        dnb = np.array(pb_dnb, dtype=np.int64)
-        ppos = np.array(pb_ppos, dtype=np.int64)
-        pnb = np.array(pb_pnb, dtype=np.int64)
-        plp = np.array(pb_pl, dtype=np.int64)
-        pww = np.array(pb_pw, dtype=np.int64)
-        paw = np.array(pb_paw, dtype=np.int64)
+
+    # patched base
+    m = kk == 2
+    if m.any():
+        wp = ww[m]
+        ln_p = ln_a[m]
+        off_p = off_a[m]
+        third = pad[pos_a[m] + 2].astype(np.int64)
+        fourth = pad[pos_a[m] + 3].astype(np.int64)
+        bwp = ((third >> 5) & 7) + 1
+        paw = _BW_NP[third & 0x1F]
+        plp = fourth & 0x1F
+        pww = _PBW_NP[((third & 0x1F) << 3) | (fourth >> 5)]
+        bpos = pos_a[m] + 4
+        dpos = bpos + bwp
+        dnb = (ln_p * wp + 7) >> 3
+        ppos = dpos + dnb
+        pnb = (plp * pww + 7) >> 3
         # sign-MSB bases, vectorized
         braw = _window_u64(pad, bpos) >> ((8 - bwp) * 8).astype(U64)
         msb = U64(1) << (bwp * 8 - 1).astype(U64)
@@ -1269,17 +1249,15 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
         basep = np.where((braw & msb) != 0, -mag, mag)
 
         order = np.argsort(wp, kind="stable")
+        wp_s = wp[order]
         g0 = 0
         while g0 < len(order):
-            w = int(wp[order[g0]])
-            g1 = g0
-            while g1 < len(order) and int(wp[order[g1]]) == w:
-                g1 += 1
+            w = int(wp_s[g0])
+            g1 = int(np.searchsorted(wp_s, w, side="right"))
             sel = order[g0:g1]
             lens_a = ln_p[sel]
-            spans = [(int(p), int(x)) for p, x in zip(dpos[sel], dnb[sel])]
-            data_u = unpack_ints_segmented(_concat_spans(raw, spans),
-                                           lens_a, w)
+            data_u = unpack_ints_segmented(
+                _gather_spans(pad, dpos[sel], dnb[sel]), lens_a, w)
             starts = np.zeros(len(lens_a), dtype=np.int64)
             np.cumsum(lens_a[:-1], out=starts[1:])
             # patch words, unpacked grouped by word width, jump-resolved
@@ -1288,7 +1266,7 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             sub = np.argsort(pww[sel], kind="stable")
             pww_s = pww[sel][sub]
             s0 = 0
-            app = []
+            app_p = []
             apv = []
             while s0 < len(sub):
                 pw2 = int(pww_s[s0])
@@ -1296,10 +1274,8 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
                 loc = sub[s0:s1]          # indices into sel
                 ss = sel[loc]
                 cnts = plp[ss]
-                spans2 = [(int(p), int(x)) for p, x in
-                          zip(ppos[ss], pnb[ss])]
-                words = unpack_ints_segmented(_concat_spans(raw, spans2),
-                                              cnts, pw2)
+                words = unpack_ints_segmented(
+                    _gather_spans(pad, ppos[ss], pnb[ss]), cnts, pw2)
                 paw_e = np.repeat(paw[ss].astype(U64), cnts)
                 gaps = (words >> paw_e).astype(np.int64)
                 pvals = words & ((U64(1) << paw_e) - U64(1))
@@ -1312,15 +1288,15 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
                 emit = ~jump
                 blk_start = starts[loc]   # data offsets within this group
                 abs_pos = (np.repeat(blk_start, cnts) + rel)[emit]
-                app.append(abs_pos)
+                app_p.append(abs_pos)
                 apv.append(pvals[emit] << U64(w))
                 s0 = s1
-            if app:
-                app_a = np.concatenate(app)
+            if app_p:
+                app_a = np.concatenate(app_p)
                 if len(app_a):
                     data_u[app_a] |= np.concatenate(apv)
             bases_e = np.repeat(basep[sel].astype(U64), lens_a)
             vals = (data_u + bases_e).view(I64)
-            _scatter(out, off_p[sel].tolist(), lens_a.tolist(), vals)
+            _scatter(out, off_p[sel], lens_a, vals)
             g0 = g1
     return out[:n]
