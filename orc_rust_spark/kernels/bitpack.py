@@ -43,9 +43,11 @@ def pack_ints(values: np.ndarray, width: int) -> bytes:
             return be[:, 4 - nbytes:].tobytes()
         be = v.astype(">u8").view(np.uint8).reshape(n, 8)
         return be[:, 8 - nbytes :].tobytes()
-    # general path: one segment through the u64 group fold
+    # general path: one segment through the u64/u32 group fold
     lens = np.array([n], dtype=np.int64)
     offs = np.array([0, (n * width + 7) // 8], dtype=np.int64)
+    if v.dtype == np.uint32:
+        return _pack_groups4(v, lens, width, offs)
     return _pack_groups8(v, lens, width, offs)
 
 
@@ -100,6 +102,8 @@ def pack_ints_segmented(values: np.ndarray, lens: np.ndarray,
     n = len(v)
     if n == 0:
         return b"", offs
+    if v.dtype == np.uint32:
+        return _pack_groups4(v, lens, width, offs), offs
     return _pack_groups8(v, lens, width, offs), offs
 
 
@@ -176,28 +180,42 @@ def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
 
 
 def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
-                          width: int) -> np.ndarray:
+                          width: int, narrow: bool = False) -> np.ndarray:
     """Inverse of `pack_ints_segmented`: `raw` is the concatenation of
     per-segment packs (each zero-padded to a byte boundary); returns the
-    concatenated uint64 values."""
+    concatenated uint64 values.
+
+    ``narrow=True`` (valid only for width <= 32) returns uint32 and runs
+    the whole fold in the 32-bit word domain — half the memory traffic
+    per pass, which is the decode ceiling on run-dense streams."""
     n = int(lens.sum())
+    if narrow and width > 32:
+        narrow = False
+    odt = np.uint32 if narrow else U64
     if n == 0:
-        return np.empty(0, dtype=U64)
+        return np.empty(0, dtype=odt)
     if width % 8 == 0:
         nbytes = width // 8
         r = np.ascontiguousarray(np.asarray(raw, dtype=np.uint8))
         if width == 8:
-            return r[:n].astype(U64)
+            return r[:n].astype(odt)
         if width == 16:
-            return r.view(">u2")[:n].astype(U64)
+            return r.view(">u2")[:n].astype(odt)
         if width == 32:
-            return r.view(">u4")[:n].astype(U64)
+            return r.view(">u4")[:n].astype(odt)
         if width == 64:
             return r.view(">u8")[:n].astype(U64)
+        if narrow:  # width == 24
+            out = np.zeros((n, 4), dtype=np.uint8)
+            out[:, 1:] = r.reshape(n, 3)
+            return out.reshape(-1).view(">u4").astype(np.uint32)
         out = np.zeros((n, 8), dtype=np.uint8)
         out[:, 8 - nbytes:] = r.reshape(n, nbytes)
         return out.reshape(-1).view(">u8").astype(U64)
     byte_lens = (lens * width + 7) // 8
+    if narrow:
+        return _unpack_groups4(np.asarray(raw, dtype=np.uint8), lens,
+                               byte_lens, width, n)
     return _unpack_groups8(np.asarray(raw, dtype=np.uint8), lens,
                            byte_lens, width, n)
 
@@ -268,6 +286,117 @@ def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
     keep = (np.arange(total_pad, dtype=vt)
             < np.repeat(vstarts + lens.astype(vt), pad_vals))
     return flat[keep]
+
+
+def _unpack_groups4(raw: np.ndarray, lens: np.ndarray,
+                    byte_lens: np.ndarray, width: int, n: int) -> np.ndarray:
+    """u32-word variant of `_unpack_groups8` for width <= 32: an 8-value
+    group's `width` bytes fold into ceil(width/4) u32 words, and a value
+    of width <= 32 straddles at most two adjacent u32 words — the same
+    op count as the u64 fold at half the bytes per pass."""
+    U32 = np.uint32
+    K = len(lens)
+    groups = (lens + 7) // 8
+    n_pad_bytes = int(groups.sum()) * width
+    aligned = bool((lens % 8 == 0).all())
+    if aligned:
+        pbytes = raw[:n_pad_bytes]
+    else:
+        it = np.int32 if n_pad_bytes < 2**31 else np.int64
+        boffs = np.zeros(K, dtype=it)
+        np.cumsum(byte_lens[:-1].astype(it), out=boffs[1:])
+        pstart = np.zeros(K, dtype=it)
+        np.cumsum((groups[:-1] * width).astype(it), out=pstart[1:])
+        nb = int(byte_lens.sum())
+        tgt = (np.arange(nb, dtype=it)
+               + np.repeat(pstart - boffs, byte_lens))
+        pbytes = np.zeros(n_pad_bytes, dtype=np.uint8)
+        pbytes[tgt] = raw[:nb]
+    m = n_pad_bytes // width
+    gb = pbytes.reshape(-1, width)
+    mask = U32((1 << width) - 1) if width < 32 else U32(0xFFFFFFFF)
+    nw = (width + 3) // 4
+    W = []
+    for j in range(nw):
+        take = min(4, width - j * 4)
+        gmj = np.empty((m, 4), dtype=np.uint8) if take == 4 \
+            else np.zeros((m, 4), dtype=np.uint8)
+        gmj[:, :take] = gb[:, j * 4: j * 4 + take]
+        W.append(gmj.reshape(-1).view(">u4").astype(U32))
+    vals8 = np.empty((m, 8), dtype=U32)
+    for i in range(8):
+        lo, hi = i * width, (i + 1) * width
+        wlo, whi = lo // 32, (hi - 1) // 32
+        if wlo == whi:
+            vals8[:, i] = (W[wlo] >> U32(32 * (wlo + 1) - hi)) & mask
+        else:
+            vals8[:, i] = ((W[wlo] << U32(hi - 32 * (wlo + 1)))
+                           | (W[whi] >> U32(32 * (whi + 1) - hi))) & mask
+    flat = vals8.reshape(-1)
+    if aligned:
+        return flat[:n]
+    pad_vals = groups * 8
+    total_pad = int(pad_vals.sum())
+    vt = np.int32 if total_pad < 2**31 else np.int64
+    vstarts = np.zeros(K, dtype=vt)
+    np.cumsum(pad_vals[:-1].astype(vt), out=vstarts[1:])
+    keep = (np.arange(total_pad, dtype=vt)
+            < np.repeat(vstarts + lens.astype(vt), pad_vals))
+    return flat[keep]
+
+
+def _pack_groups4(v: np.ndarray, lens: np.ndarray, width: int,
+                  offs: np.ndarray) -> bytes:
+    """u32-word variant of `_pack_groups8` for uint32 input and
+    width <= 32 (the int32 token hot path): the 8-value group assembles
+    into ceil(width/4) u32 words — half the memory traffic per
+    shift-add pass, identical emitted bytes."""
+    U32 = np.uint32
+    K = len(lens)
+    n = len(v)
+    aligned_lens = bool((lens % 8 == 0).all())
+    if aligned_lens:
+        n_pad = n
+        pv = v
+        groups = None
+    else:
+        groups = (lens + 7) // 8
+        n_pad = int(groups.sum()) * 8
+        it = np.int32 if n_pad < 2**31 else np.int64
+        pv = np.zeros(n_pad, dtype=U32)
+        pstart = np.zeros(K, dtype=it)
+        np.cumsum((groups[:-1] * 8).astype(it), out=pstart[1:])
+        starts = np.zeros(K, dtype=it)
+        np.cumsum(lens[:-1].astype(it), out=starts[1:])
+        tgt = np.arange(n, dtype=it) + np.repeat(pstart - starts, lens)
+        pv[tgt] = v
+    gm = pv.reshape(-1, 8)
+    nw = (width + 3) // 4
+    words = [np.zeros(gm.shape[0], dtype=U32) for _ in range(nw)]
+    for i in range(8):
+        lo, hi = i * width, (i + 1) * width
+        wlo, whi = lo // 32, (hi - 1) // 32
+        if wlo == whi:
+            words[wlo] |= gm[:, i] << U32(32 * (wlo + 1) - hi)
+        else:  # straddles a word boundary
+            words[wlo] |= gm[:, i] >> U32(hi - 32 * (wlo + 1))
+            words[whi] |= gm[:, i] << U32(32 * (whi + 1) - hi)
+    gbytes = np.empty((gm.shape[0], width), dtype=np.uint8)
+    for j in range(nw):
+        take = min(4, width - j * 4)
+        bj = words[j].astype(">u4").view(np.uint8).reshape(-1, 4)
+        gbytes[:, j * 4: j * 4 + take] = bj[:, :take]
+    if aligned_lens:
+        return gbytes.tobytes()
+    pad_bytes = groups * width
+    true_bytes = np.diff(offs)
+    total_pad = int(pad_bytes.sum())
+    bt = np.int32 if total_pad < 2**31 else np.int64
+    bstarts = np.zeros(K, dtype=bt)
+    np.cumsum(pad_bytes[:-1].astype(bt), out=bstarts[1:])
+    keep = (np.arange(total_pad, dtype=bt)
+            < np.repeat(bstarts + true_bytes.astype(bt), pad_bytes))
+    return gbytes.reshape(-1)[keep].tobytes()
 
 
 def packed_byte_len(n: int, width: int) -> int:

@@ -1136,6 +1136,10 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
         bwv = ((hh[m] >> 3) & 7) + 1
         vals_u = _window_u64(pad, pos_a[m] + 1) >> ((8 - bwv) * 8).astype(U64)
         vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
+        if len(vals) and -2**31 <= int(vals.min()) \
+                and int(vals.max()) < 2**31:
+            # the repeat-expanded array is the big one: emit it int32
+            vals = vals.astype(np.int32)
         lnm = ln_a[m]
         _scatter(out, off_a[m], lnm, np.repeat(vals, lnm))
 
@@ -1155,8 +1159,17 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             g1 = int(np.searchsorted(w_s, w, side="right"))
             sel = order[g0:g1]
             vals_u = unpack_ints_segmented(
-                _gather_spans(pad, st_d[sel], nb_d[sel]), ln_d[sel], w)
-            vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
+                _gather_spans(pad, st_d[sel], nb_d[sel]), ln_d[sel], w,
+                narrow=w <= 32)
+            if vals_u.dtype == np.uint32:
+                # zigzag in the u32 domain is exact for w <= 32 (the
+                # decoded value always fits int32); unsigned u32 scatters
+                # straight through with a widening assign
+                vals = ((vals_u >> np.uint32(1)).view(np.int32)
+                        ^ -((vals_u & np.uint32(1)).view(np.int32))) \
+                    if signed else vals_u
+            else:
+                vals = zigzag_decode(vals_u) if signed else vals_u.view(I64)
             _scatter(out, off_d[sel], ln_d[sel], vals)
             g0 = g1
 
@@ -1256,8 +1269,19 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             g1 = int(np.searchsorted(wp_s, w, side="right"))
             sel = order[g0:g1]
             lens_a = ln_p[sel]
+            # 32-bit group domain when provably exact: every patched
+            # value is < 2^(w + patch_value_width) and base + that
+            # bound stays inside int32 — the token hot path (zipf ids,
+            # widths 8-16) qualifies wholesale, halving the traffic of
+            # the unpack, base-expand and add passes
+            maxbits = w + int(paw[sel].max())
+            bmin = int(basep[sel].min())
+            bmax = int(basep[sel].max())
+            use32 = (maxbits <= 31 and bmin >= -(2**31)
+                     and bmax + (1 << maxbits) - 1 <= 2**31 - 1)
             data_u = unpack_ints_segmented(
-                _gather_spans(pad, dpos[sel], dnb[sel]), lens_a, w)
+                _gather_spans(pad, dpos[sel], dnb[sel]), lens_a, w,
+                narrow=use32)
             starts = np.zeros(len(lens_a), dtype=np.int64)
             np.cumsum(lens_a[:-1], out=starts[1:])
             # patch words, unpacked grouped by word width, jump-resolved
@@ -1267,7 +1291,7 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             pww_s = pww[sel][sub]
             s0 = 0
             app_p = []
-            apv = []
+            app_v = []
             while s0 < len(sub):
                 pw2 = int(pww_s[s0])
                 s1 = int(np.searchsorted(pww_s, pw2, side="right"))
@@ -1289,14 +1313,19 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
                 blk_start = starts[loc]   # data offsets within this group
                 abs_pos = (np.repeat(blk_start, cnts) + rel)[emit]
                 app_p.append(abs_pos)
-                apv.append(pvals[emit] << U64(w))
+                shifted = pvals[emit] << U64(w)
+                app_v.append(shifted.astype(np.uint32) if use32 else shifted)
                 s0 = s1
             if app_p:
                 app_a = np.concatenate(app_p)
                 if len(app_a):
-                    data_u[app_a] |= np.concatenate(apv)
-            bases_e = np.repeat(basep[sel].astype(U64), lens_a)
-            vals = (data_u + bases_e).view(I64)
+                    data_u[app_a] |= np.concatenate(app_v)
+            if use32:
+                bases_e = np.repeat(basep[sel].astype(np.int32), lens_a)
+                vals = data_u.view(np.int32) + bases_e
+            else:
+                bases_e = np.repeat(basep[sel].astype(U64), lens_a)
+                vals = (data_u + bases_e).view(I64)
             _scatter(out, off_p[sel], lens_a, vals)
             g0 = g1
     return out[:n]
