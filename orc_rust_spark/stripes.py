@@ -44,7 +44,12 @@ from .kernels.for_codec import (
 )
 from .kernels.fsst import fsst_compress, fsst_decompress
 from .kernels.rle_v2 import rle_v2_decode, rle_v2_encode
-from .kernels.util import read_varint, write_varint
+from .kernels.util import (
+    bits_used_scalar,
+    read_varint,
+    write_varint,
+    write_varint_zigzagged,
+)
 
 MAGIC = b"OSP1"
 MAGIC_COMPRESSED = b"OSPC"  # + u8 kind + ORC chunked stream of an OSP1 blob
@@ -176,6 +181,20 @@ def encode_int_auto(values: np.ndarray, candidates: tuple[int, ...] = (C_RLEV2, 
         if c == C_RLEV2:
             enc = rle_v2_encode(v, signed=True)
         elif c == C_FOR:
+            # FoR output size is exactly computable from min/max (flat
+            # pack at bits(max-min)); skip the full encode pass unless
+            # it would actually beat the current best — on zipf token
+            # streams RLEv2's patched-base always wins, so this turns a
+            # full-array candidate encode into two cheap reductions
+            if best is not None and len(v):
+                lo, hi = int(v.min()), int(v.max())
+                width = bits_used_scalar((hi - lo) & 0xFFFFFFFFFFFFFFFF)
+                hdr = bytearray()
+                write_varint_zigzagged(hdr, len(v), False)
+                write_varint_zigzagged(hdr, lo, True)
+                est = len(hdr) + 1 + ((len(v) * width + 7) // 8 if width else 0)
+                if est >= len(best):
+                    continue
             enc = for_encode(v)
         elif c == C_BITPACK:
             if len(v) and v.min() < 0:
