@@ -599,28 +599,51 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
     pb_t95 = np.zeros(K, dtype=np.int64)    # brl_95p per k
     scalar_parts: dict[int, bytes] = {}     # k -> full emitted bytes
     if pc.any():
-        # FULL-domain base reduction: on zipf token data ~75% of literal
-        # elements sit in patched-candidate blocks, so compacting via
-        # pmask/remap gathers cost more than the few garbage-block values
-        # it skipped.  Non-candidate blocks produce garbage stats that
-        # are never read.
-        if narrow:
-            # base-reduced values of an int32 block always fit uint32;
-            # wrapping int32 subtraction == wrapping u32 subtraction, so
-            # subtract a repeat-expanded base in the native dtype and
-            # reinterpret — no astype copies, no fancy gather
-            brl_vals = (g - np.repeat(vmin.astype(np.int32), ll)) \
-                .view(np.uint32)
-        else:
-            brl_vals = g - np.repeat(vmin, ll)
-        if narrow and int(range_u.max()) < (1 << 24):
-            pbits = np.frexp(brl_vals.astype(np.float32))[1]
-        else:
-            pbits = bits_used(brl_vals if narrow else brl_vals.astype(U64))
-        pcols = int(pbits.max()) + 1 if len(pbits) else 1
-        pkey = np.repeat(np.arange(K, dtype=np.int64) * pcols, ll)
-        np.add(pkey, pbits, out=pkey, casting="unsafe")
-        phist = np.bincount(pkey, minlength=K * pcols).reshape(K, pcols)
+        # p95 histograms WITHOUT a second full element pass: a block
+        # with vmin == 0 has base-reduced values equal to its raw
+        # values, and (signed) bits(zigzag(x)) = bits(x) + 1 for x > 0,
+        # so its base-reduced bit-length histogram is the zigzag
+        # histogram's row shifted down one bucket — a pure K-domain
+        # transform.  Only vmin != 0 candidate blocks (rare on zipf
+        # token data, where nearly every 512-value block contains a 0)
+        # pay a gathered element pass.
+        sc = pc & (vmin == 0)
+        gd = pc & ~sc
+        gdk = np.nonzero(gd)[0]
+        pcols = ncols
+        if len(gdk):
+            ll_g = ll[gdk]
+            tot_g = int(ll_g.sum())
+            st_g = np.zeros(len(gdk), dtype=np.int64)
+            np.cumsum(ll_g[:-1], out=st_g[1:])
+            idx_g = (np.arange(tot_g, dtype=np.int64)
+                     + np.repeat(bnd[gdk] - st_g, ll_g))
+            ge = g[idx_g]
+            if narrow:
+                brl_g = (ge - np.repeat(vmin[gdk].astype(np.int32), ll_g)) \
+                    .view(np.uint32)
+            else:
+                brl_g = (ge - np.repeat(vmin[gdk], ll_g)).view(U64)
+            if narrow and int(range_u[gdk].max()) < (1 << 24):
+                pbits_g = np.frexp(brl_g.astype(np.float32))[1]
+            else:
+                pbits_g = bits_used(brl_g)
+            if tot_g:
+                pcols = max(pcols, int(pbits_g.max()) + 1)
+        phist = np.zeros((K, pcols), dtype=hist.dtype)
+        if sc.any():
+            if signed:
+                phist[sc, 0] = hist[sc, 0] + (hist[sc, 1] if ncols > 1 else 0)
+                if ncols > 2:
+                    phist[sc, 1:ncols - 1] = hist[sc, 2:]
+            else:
+                phist[sc, :ncols] = hist[sc]
+        if len(gdk):
+            gkey = np.repeat(np.arange(len(gdk), dtype=np.int64) * pcols,
+                             ll_g)
+            np.add(gkey, pbits_g, out=gkey, casting="unsafe")
+            phist[gdk] = np.bincount(
+                gkey, minlength=len(gdk) * pcols).reshape(len(gdk), pcols)
         p95_k = _FIXED_BITS_LUT[_percentile_stop(phist, _per_len(ll, 0.95))]
         brl_100_k = _ALIGNED_WIDTH_LUT[bits_used(range_u)]
         is_patched_k = pc & (brl_100_k != p95_k)
@@ -637,15 +660,20 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         t95_k[adj] = 8
         thr = np.full(K, 64, dtype=np.int64)  # non-patched: mask everything
         thr[jj] = t95_k[jj]
-        if narrow:
-            brl_u = brl_vals  # uint32, base-reduced, non-negative
-        else:
-            brl_u = brl_vals.view(U64)
-        # a value needs a patch exactly when its bit length exceeds the
-        # block's t95 threshold — reuse the per-element bit lengths
-        # already computed for the histogram instead of building and
-        # gathering full-width value masks
-        pidx = np.nonzero(pbits > thr.astype(pbits.dtype)[seg_of])[0]
+        # a value needs a patch exactly when its BASE-REDUCED bit length
+        # exceeds the block's t95 threshold.  vmin == 0 blocks test the
+        # zigzag bit lengths already computed for the first histogram
+        # (bits(zigzag) = pbits + 1 there when signed); gathered blocks
+        # test their own base-reduced lengths over the small subset
+        thr_zz = np.full(K, 64, dtype=np.int64)
+        m_sc = is_patched_k & sc
+        thr_zz[m_sc] = t95_k[m_sc] + (1 if signed else 0)
+        pidx = np.nonzero(bug > thr_zz.astype(bug.dtype)[seg_of])[0]
+        if len(gdk):
+            pm = pbits_g > np.repeat(thr[gdk], ll_g).astype(pbits_g.dtype)
+            pidx_gd = idx_g[pm]
+            if len(pidx_gd):
+                pidx = np.sort(np.concatenate((pidx, pidx_gd)))
         pb_ = seg_of[pidx]
         rel = pidx - bnd[pb_]
         gap = rel.copy()
@@ -654,13 +682,14 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         gap[same] = rel[same] - rel[np.nonzero(same)[0] - 1]
         pbw_e = pbw_k.astype(U64)[pb_]
         thr_p = thr[pb_].astype(U64)
-        pval = brl_u[pidx].astype(U64) >> thr_p
-        # strip high bits in place (sparse: only at patch positions)
+        # base-reduced patch values via sparse gathers; the full-domain
+        # base reduction is gone (emission re-derives its own), and the
+        # high-bit strip is applied sparsely at the emission positions
         if narrow:
-            brl_u[pidx] &= ((np.uint32(1) << thr_p.astype(np.uint32))
-                            - np.uint32(1))
+            pval = (g[pidx] - vmin[pb_].astype(np.int32)) \
+                .view(np.uint32).astype(U64) >> thr_p
         else:
-            brl_u[pidx] &= (U64(1) << thr_p) - U64(1)
+            pval = (g[pidx] - vmin[pb_]).view(U64) >> thr_p
         # 255-gap jump splitting, vectorized for ALL blocks (replaces
         # the per-block scalar reference walk — ~1.2k such blocks per
         # token stripe): gap 256..510 emits one (255, 0) marker word
@@ -905,9 +934,30 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
         np.cumsum(e_ll[:-1].astype(np.int32), out=pst[1:])
         eidx = (np.arange(tote, dtype=np.int32)
                 + np.repeat(estart.astype(np.int32) - pst, e_ll))
-        brl_sorted = brl_vals[eidx]  # u32 stays u32 in the pack
+        # base-reduce ONLY the patched blocks' elements, fused with the
+        # emission gather (u32 stays u32 in the pack)
+        vmin_e = vmin[pk[order]]
+        if narrow:
+            brl_sorted = (g[eidx]
+                          - np.repeat(vmin_e.astype(np.int32), e_ll)) \
+                .view(np.uint32)
+        else:
+            brl_sorted = (g[eidx] - np.repeat(vmin_e, e_ll)).view(U64)
         ecum = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(e_ll, out=ecum[1:])
+        # sparse high-bit strip at the patch positions, mapped into the
+        # width-sorted emission order
+        live = cat[pb_] == _CAT_PATCHED  # interop reroutes drop out
+        if live.any():
+            sstart = np.zeros(K, dtype=np.int64)
+            sstart[pk[order]] = ecum[:-1]
+            spos = sstart[pb_[live]] + rel[live]
+            if narrow:
+                brl_sorted[spos] &= ((np.uint32(1)
+                                      << thr_p[live].astype(np.uint32))
+                                     - np.uint32(1))
+            else:
+                brl_sorted[spos] &= (U64(1) << thr_p[live]) - U64(1)
         bw_sorted = brl_w[order]
         g0 = 0
         while g0 < len(order):
