@@ -233,8 +233,11 @@ def read_metadata(path: str) -> OrcMeta:
             "data_length": _one(s, 3), "footer_length": _one(s, 4),
             "n_rows": _one(s, 5),
         })
-    root = types[0] if types else {"field_names": []}
-    return OrcMeta(compression, types, stripes, root["field_names"],
+    if types and types[0]["kind"] != TK_STRUCT:
+        field_names = ["_col0"]  # non-struct root: one synthetic column
+    else:
+        field_names = types[0]["field_names"] if types else []
+    return OrcMeta(compression, types, stripes, field_names,
                    stripe_stats, block_size, _one(footer, 8, 0))
 
 
@@ -642,13 +645,27 @@ def _arrow_type_of(meta: OrcMeta, cid: int) -> pa.DataType:
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
 
 
+def _root_fields(meta: OrcMeta) -> tuple[list[str], list[int]]:
+    """Top-level (names, column ids).  ORC allows any type at the root
+    (Java writers emit bare `timestamp`/`bigint` files); a non-struct
+    root is exposed as a single column `_col0`.  The reference leaves
+    these unsupported (`tests/integration/main.rs` #[ignore]
+    "Non-struct root type are not supported yet") and pyarrow rejects
+    them outright — parity here is ground-truthed against the
+    reference's own expected_file_output fixtures instead."""
+    root = meta.types[0]
+    if root["kind"] == TK_STRUCT:
+        return root["field_names"], list(root["subtypes"])
+    return ["_col0"], [0]
+
+
 def arrow_schema(meta: OrcMeta,
                  columns: list[str] | None = None) -> pa.Schema:
     """Schema of the file's root struct from metadata only."""
-    root = meta.types[0]
+    names, cids = _root_fields(meta)
     return pa.schema([
-        pa.field(nm, _arrow_type_of(meta, sub))
-        for nm, sub in zip(root["field_names"], root["subtypes"])
+        pa.field(nm, _arrow_type_of(meta, cid))
+        for nm, cid in zip(names, cids)
         if columns is None or nm in columns])
 
 
@@ -698,13 +715,12 @@ def read_orc(path: str, columns: list[str] | None = None,
     else:
         with open(path, "rb") as f:
             data = f.read()
-    root = meta.types[0]
-    names = root["field_names"]
+    names, root_cids = _root_fields(meta)
     want = [i for i, nm in enumerate(names)
             if columns is None or nm in columns]
     pred = None
     # column id of a root child is its subtype index
-    col_to_cid = {nm: root["subtypes"][i] for i, nm in enumerate(names)}
+    col_to_cid = {nm: root_cids[i] for i, nm in enumerate(names)}
     if predicate is not None:
         from .predicate import Predicate
         pred = Predicate.from_range_dict(predicate) \
@@ -739,7 +755,7 @@ def read_orc(path: str, columns: list[str] | None = None,
             if not pred.evaluate(stats_of):
                 continue
         out_names = [names[i] for i in want]
-        want_cids = [root["subtypes"][i] for i in want]
+        want_cids = [root_cids[i] for i in want]
         # sub-stripe skip: with a predicate or selection and a row
         # index, decode only the row groups whose statistics may match
         # and whose selection slice selects rows
