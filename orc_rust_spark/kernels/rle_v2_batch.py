@@ -464,10 +464,6 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
 
     bnd = np.zeros(K, dtype=np.int64)
     np.cumsum(ll[:-1], out=bnd[1:])
-    # int32 is enough for per-value block ids and positions (blocks are
-    # <=512 values, totals < 2^31) — the index/id arrays are pure memory
-    # traffic, and DRAM bandwidth is the 32-core scaling ceiling
-    seg_of = np.repeat(np.arange(K, dtype=np.int32), ll)
     # gather via an interval diff-mask: literal blocks are sorted
     # non-overlapping [la, la+ll) spans, so +1 at starts / -1 at ends,
     # int8 cumsum, one boolean gather — ~3 cheap passes instead of K
@@ -681,7 +677,12 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
             pidx_gd = idx_g[pm]
             if len(pidx_gd):
                 pidx = np.sort(np.concatenate((pidx, pidx_gd)))
-        pb_ = seg_of[pidx]
+        # block id of each (sparse) patch position: binary search over
+        # the K block starts — O(P log K) on the few patch elements,
+        # replacing the full-length seg_of repeat (one n-length write
+        # pass) it used to gather from
+        pb_ = (np.searchsorted(bnd, pidx, side="right") - 1) \
+            .astype(np.int32)
         rel = pidx - bnd[pb_]
         gap = rel.copy()
         same = np.zeros(len(pidx), dtype=bool)
