@@ -470,6 +470,10 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
     # Python slice objects (~16 ms per 33k-block stripe)
     if K == 1:
         g = np.ascontiguousarray(v[la[0]: la[0] + ll[0]])
+    elif total == len(v):
+        # sorted non-overlapping spans summing to n tile [0, n): the
+        # literal-dense worst case needs no mask build and no gather
+        g = np.ascontiguousarray(v)
     else:
         dd = np.zeros(len(v) + 1, dtype=np.int8)
         dd[la] = 1
