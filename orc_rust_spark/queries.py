@@ -962,6 +962,37 @@ def q_orc_external_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("l_orderkey") <= 20_000))
 
 
+def q_orc_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pruning gate (EXCEEDS the reference — bloom filters
+    are roadmap-only there, `README.md:31-39`): write lineitem as real
+    ORC with BLOOM_FILTER_UTF8 streams on l_partkey
+    (`sources/orc_writer.py`, standard Murmur3-64/Wang hashing
+    validated against Java-written fixtures in tests/test_bloom.py),
+    then read it back through the distributed source under an EQUALITY
+    predicate.  Row-group min/max statistics cannot prune an in-range
+    key (every 2500-row group spans nearly the full l_partkey domain),
+    but ~e^(-2500/2000) ≈ 29% of groups provably lack the key and are
+    skipped bytes-untouched via their bloom filters."""
+    import tempfile
+    from .sources.orc_spark import read_orc_spark, write_orc_spark
+    from .sources.predicate import Predicate as P
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    out = tempfile.mkdtemp(prefix="orc_bloom_")
+    write_orc_spark(li.coalesce(1), out, compression=1, stripe_rows=30_000,
+                    row_index_stride=2_500,
+                    bloom_columns=["l_partkey"]).collect()
+    rt = read_orc_spark(spark, out, predicate=P.eq("l_partkey", 1_000))
+    return rt.filter(F.col("l_partkey") == 1_000)
+
+
+_ORC_BLOOM_ORACLE = (
+    "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag FROM lineitem "
+    "WHERE l_partkey = 1000"
+)
+
+
 def q_orc_row_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RowSelection gate (the fork's headline feature,
     `src/row_selection.rs:31-463` + selection-aware decode
@@ -1050,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rle_v1_fixture"] = q_rle_v1_fixture
     q["orc_rowindex_pruned"] = q_orc_rowindex_pruned
     q["orc_external_pruned"] = q_orc_external_pruned
+    q["orc_bloom_pruned"] = q_orc_bloom_pruned
     q["orc_row_selection"] = q_orc_row_selection
     q["events_json"] = _sql_query(sql_events_json, ["events"])
     q["lineitem_agg"] = _sql_query(sql_lineitem_agg, ["lineitem"])
@@ -1071,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
     o["rle_v1_fixture"] = _RLEV1_ORACLE
     o["orc_rowindex_pruned"] = _ORC_RI_ORACLE
     o["orc_external_pruned"] = _ORC_RI_ORACLE
+    o["orc_bloom_pruned"] = _ORC_BLOOM_ORACLE
     o["orc_row_selection"] = _ORC_SEL_ORACLE
     o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE
     o["streaming_encode"] = _TOKENS_ORACLE_BASE

@@ -5,6 +5,8 @@ writer so the two sides cannot drift."""
 # Stream.Kind
 K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_SECONDARY = 0, 1, 2, 3, 5
 K_ROW_INDEX = 6
+K_BLOOM_FILTER = 7
+K_BLOOM_FILTER_UTF8 = 8
 
 # ColumnEncoding.Kind
 ENC_DIRECT, ENC_DICT, ENC_DIRECT_V2, ENC_DICT_V2 = 0, 1, 2, 3

@@ -171,7 +171,9 @@ ORC_MANIFEST_SCHEMA = T.StructType([
 def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
                     stripe_rows: int = 65536,
                     row_index_stride: int = 0,
-                    stripe_bytes: int = 64 << 20) -> DataFrame:
+                    stripe_bytes: int = 64 << 20,
+                    bloom_columns: list[str] | None = None,
+                    bloom_fpp: float = 0.05) -> DataFrame:
     """Write a DataFrame as one `.orc` file per partition; returns the
     manifest DataFrame (materialize it to run the write).
 
@@ -211,7 +213,9 @@ def write_orc_spark(df: DataFrame, out_dir: str, compression: int = 1,
                 continue
             if writer is None:
                 writer = OrcWriter(path, b.schema, compression,
-                                   row_index_stride=row_index_stride)
+                                   row_index_stride=row_index_stride,
+                                   bloom_columns=bloom_columns,
+                                   bloom_fpp=bloom_fpp)
             pending.append(b)
             pending_rows += b.num_rows
             pending_bytes += b.nbytes

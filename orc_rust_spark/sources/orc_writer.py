@@ -399,7 +399,9 @@ class OrcWriter:
     def __init__(self, path: str, schema: pa.Schema, compression: int = 0,
                  block_size: int = 256 * 1024,
                  writer_timezone: str = "UTC",
-                 row_index_stride: int = 0):
+                 row_index_stride: int = 0,
+                 bloom_columns: list[str] | None = None,
+                 bloom_fpp: float = 0.05):
         self.types = _build_types(schema)  # validates types up front
         self.path = path
         self.schema = schema
@@ -407,6 +409,35 @@ class OrcWriter:
         self.block_size = block_size
         self.writer_timezone = writer_timezone
         self.row_index_stride = row_index_stride
+        # BLOOM_FILTER_UTF8 streams (kind 8) for the named top-level
+        # columns — per row group, standard Murmur3-64/Wang hashing
+        # (kernels/bloom.py).  EXCEEDS the reference (bloom filters are
+        # roadmap-only there, README.md:31-39).
+        self.bloom_fpp = bloom_fpp
+        self.bloom_cids: dict[int, int] = {}  # cid -> type kind
+        if bloom_columns:
+            if not row_index_stride:
+                raise ValueError(
+                    "bloom_columns requires row_index_stride > 0 "
+                    "(bloom filters are per row group)")
+            from ..kernels.bloom import hash_arrow_array  # noqa: F401
+            from .orc_format import (TK_BYTE, TK_SHORT, TK_INT, TK_LONG,
+                                     TK_DATE, TK_STRING, TK_VARCHAR,
+                                     TK_CHAR)
+            ok_kinds = (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
+                        TK_STRING, TK_VARCHAR, TK_CHAR)
+            names = [f.name for f in schema]
+            for col in bloom_columns:
+                if col not in names:
+                    raise ValueError(f"bloom column {col!r} not in schema")
+                cid = self.types[0][1][names.index(col)]
+                kind = self.types[cid][0]
+                if kind not in ok_kinds:
+                    raise ValueError(
+                        f"bloom column {col!r}: type kind {kind} has no "
+                        "standard bloom hashing (int-family and string "
+                        "columns only)")
+                self.bloom_cids[cid] = kind
         # tz name must resolve NOW (a bad name failing at read time, or
         # only in external readers, would corrupt every stripe silently)
         if writer_timezone not in ("UTC", "GMT"):
@@ -448,7 +479,7 @@ class OrcWriter:
             if self.writer_timezone not in ("UTC", "GMT") else None
         stride = self.row_index_stride
         index_bytes = b""
-        index_streams: list[tuple[int, bytes]] = []
+        index_streams: list[tuple[int, int, bytes]] = []  # (cid, kind, blob)
         if not stride:
             streams: list[tuple[int, int, bytes]] = []
             encodings: dict[int, tuple[int, int]] = {0: (ENC_DIRECT, 0)}
@@ -551,15 +582,35 @@ class OrcWriter:
                     if gst is not None:
                         _pb_field_bytes(entry, 2, gst)
                     _pb_field_bytes(ri, 1, bytes(entry))
-                index_streams.append((cid, self._wrap(bytes(ri))))
-            index_bytes = b"".join(b for _, b in index_streams)
+                index_streams.append((cid, K_ROW_INDEX,
+                                      self._wrap(bytes(ri))))
+            # BLOOM_FILTER_UTF8 streams follow the ROW_INDEX streams in
+            # the index region, one BloomFilterIndex per column with one
+            # BloomFilter per row group
+            if self.bloom_cids:
+                from ..kernels.bloom import BloomFilter, hash_arrow_array
+                from .orc_format import K_BLOOM_FILTER_UTF8
+                top = self.types[0][1]
+                for cid in sorted(self.bloom_cids):
+                    kind = self.bloom_cids[cid]
+                    i = top.index(cid)
+                    bidx = bytearray()
+                    for g in groups:
+                        bf = BloomFilter.build(stride, self.bloom_fpp)
+                        h = hash_arrow_array(g.column(i), kind)
+                        if h is not None and len(h):
+                            bf.add_hashes(h)
+                        _pb_field_bytes(bidx, 1, bf.to_proto_bytes())
+                    index_streams.append((cid, K_BLOOM_FILTER_UTF8,
+                                          self._wrap(bytes(bidx))))
+            index_bytes = b"".join(b for _, _, b in index_streams)
         self._stripe_stats.append(stats)
 
         foot = bytearray()
         data = bytearray()
-        for cid, blob in index_streams:
+        for cid, ikind, blob in index_streams:
             entry = bytearray()
-            _pb_field_varint(entry, 1, K_ROW_INDEX)
+            _pb_field_varint(entry, 1, ikind)
             _pb_field_varint(entry, 2, cid)
             _pb_field_varint(entry, 3, len(blob))
             _pb_field_bytes(foot, 1, bytes(entry))
@@ -626,6 +677,11 @@ class OrcWriter:
             _pb_field_bytes(footer, 4, bytes(tmsg))
         _pb_field_varint(footer, 6, self._n_rows)
         _pb_field_varint(footer, 8, self.row_index_stride)
+        # softwareVersion (Footer field 12): identifies this writer;
+        # Footer.writer stays absent (no registered code), so readers
+        # treat the file as writerVersion-6-level — accurate, since the
+        # streams and bloom hashing follow the modern spec exactly
+        _pb_field_bytes(footer, 12, b"orc-rust-spark/0.4")
         footer_w = self._wrap(bytes(footer))
         self._f.write(footer_w)
 
@@ -638,6 +694,7 @@ class OrcWriter:
         _pb_varint(ps, 2)
         ps += bytes((0, 12))
         _pb_field_varint(ps, 5, len(metadata_w))  # metadataLength
+        _pb_field_varint(ps, 6, 6)  # writerVersion: modern fix level
         _pb_field_bytes(ps, 8000, b"ORC")
         self._f.write(bytes(ps))
         self._f.write(bytes((len(ps),)))
@@ -646,12 +703,16 @@ class OrcWriter:
 
 def write_orc(path: str, table: pa.Table, compression: int = 0,
               stripe_rows: int = 65536,
-              row_index_stride: int = 0) -> None:
+              row_index_stride: int = 0,
+              bloom_columns: list[str] | None = None,
+              bloom_fpp: float = 0.05) -> None:
     """Write an Arrow table as a real ORC file (one stripe per
     ~stripe_rows; `row_index_stride` > 0 adds ROW_INDEX streams for
-    sub-stripe skipping)."""
+    sub-stripe skipping; `bloom_columns` adds BLOOM_FILTER_UTF8
+    streams for equality-predicate row-group pruning)."""
     w = OrcWriter(path, table.schema, compression,
-                  row_index_stride=row_index_stride)
+                  row_index_stride=row_index_stride,
+                  bloom_columns=bloom_columns, bloom_fpp=bloom_fpp)
     for batch in table.combine_chunks().to_batches(max_chunksize=stripe_rows):
         w.write_batch(batch)
     w.close()

@@ -121,15 +121,22 @@ class Predicate:
         return "(" + sep.join(repr(c) for c in self.children) + ")"
 
     # -- evaluation --------------------------------------------------------
-    def evaluate(self, stats_of) -> bool:
+    def evaluate(self, stats_of, bloom_of=None) -> bool:
         """keep/skip for one unit.  `stats_of(column) -> ColStats | None`.
+
+        `bloom_of(column, value) -> bool | None` is an optional second
+        evidence channel (ORC bloom filters): False means the value is
+        PROVABLY absent from the unit, True/None mean no information.
+        A bloom can only strengthen pruning soundly on equality — it
+        disproves eq's may side and proves ne's must side (for
+        non-nullable units); all other operators ignore it.
 
         True = the unit may contain matching rows (keep);
         False = statistics prove no row matches (skip)."""
-        may, _must = self._evaluate3(stats_of)
+        may, _must = self._evaluate3(stats_of, bloom_of)
         return may
 
-    def _evaluate3(self, stats_of) -> tuple[bool, bool]:
+    def _evaluate3(self, stats_of, bloom_of=None) -> tuple[bool, bool]:
         """(may_match, must_match_all): may_match False proves NO row
         matches; must_match_all True proves EVERY row matches.  Both are
         conservative under-/over-approximations, so `not` can swap them
@@ -137,20 +144,21 @@ class Predicate:
         must-match-all only when p cannot match at all."""
         k = self.kind
         if k == "and":
-            mays, musts = zip(*(c._evaluate3(stats_of)
+            mays, musts = zip(*(c._evaluate3(stats_of, bloom_of)
                                 for c in self.children)) \
                 if self.children else ((), ())
             return all(mays), all(musts) if musts else True
         if k == "or":
             if not self.children:
                 return True, False
-            mays, musts = zip(*(c._evaluate3(stats_of)
+            mays, musts = zip(*(c._evaluate3(stats_of, bloom_of)
                                 for c in self.children))
             # any child matching all rows makes the OR match all rows
             # (sufficient, not necessary — stays an under-approximation)
             return any(mays), any(musts)
         if k == "not":
-            may_c, must_c = self.children[0]._evaluate3(stats_of)
+            may_c, must_c = self.children[0]._evaluate3(stats_of,
+                                                        bloom_of)
             return not must_c, not may_c
         st = stats_of(self.column)
         if st is None:
@@ -205,7 +213,7 @@ class Predicate:
                 "gt": mnf > vf,
                 "ge": mnf >= vf,
             }[self.op]
-            return may, must
+            return self._bloom_adjust(may, must, nullable, bloom_of)
         may = {
             "eq": mn <= v <= mx,
             "ne": not (mn == v and mx == v),
@@ -222,6 +230,24 @@ class Predicate:
             "gt": mn > v,
             "ge": mn >= v,
         }[self.op]
+        return self._bloom_adjust(may, must, nullable, bloom_of)
+
+    def _bloom_adjust(self, may: bool, must: bool, nullable: bool,
+                      bloom_of) -> tuple[bool, bool]:
+        """Strengthen a comparison's (may, must) with bloom evidence.
+        Only a PROVABLY-ABSENT answer (False) carries information, and
+        only for equality: absent disproves eq's may side and proves
+        ne's must side when the unit has no nulls (nulls never match a
+        comparison, so `ne` cannot match-all through a null)."""
+        if bloom_of is None or self.op not in ("eq", "ne") or \
+                (self.op == "eq" and not may) or \
+                (self.op == "ne" and must):
+            return may, must
+        if bloom_of(self.column, self.value) is False:
+            if self.op == "eq":
+                may = False
+            else:
+                must = not nullable
         return may, must
 
     def columns(self) -> set[str]:
