@@ -98,7 +98,6 @@ def murmur3_hash64_many(flat: np.ndarray, starts: np.ndarray,
     lens = lens.astype(np.int64)
     nblocks = lens >> 3
     max_blocks = int(nblocks.max()) if n else 0
-    order = np.argsort(nblocks, kind="stable")  # shrink alive set cheaply
     c1 = U64(_C1)
     c2 = U64(_C2)
     for b in range(max_blocks):
@@ -112,7 +111,6 @@ def murmur3_hash64_many(flat: np.ndarray, starts: np.ndarray,
         k = k * c2
         ha = h[alive] ^ k
         h[alive] = _rotl64_vec(ha, 27) * U64(5) + U64(0x52DCE729)
-    del order
     # tails: remaining 0..7 bytes assembled little-endian
     rem = lens & 7
     has_tail = rem > 0

@@ -879,9 +879,13 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
         return None
     # bloom filters: a second, per-group pruning channel for equality
     # predicates (this EXCEEDS the reference, where bloom filters are
-    # roadmap-only, README.md:31-39)
+    # roadmap-only, README.md:31-39).  Only equality comparisons can
+    # use a bloom, so range-only predicates skip the stream parse.
+    def _has_equality(p) -> bool:
+        return (p.kind == "cmp" and p.op in ("eq", "ne")) or \
+            any(_has_equality(c) for c in p.children)
     blooms = _parse_bloom_index(data, meta, spans, set(pcids)) \
-        if pred is not None else {}
+        if pred is not None and _has_equality(pred) else {}
     _hash_cache: dict = {}
 
     def _bloom_of_group(g: int):

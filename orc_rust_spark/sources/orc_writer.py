@@ -420,7 +420,6 @@ class OrcWriter:
                 raise ValueError(
                     "bloom_columns requires row_index_stride > 0 "
                     "(bloom filters are per row group)")
-            from ..kernels.bloom import hash_arrow_array  # noqa: F401
             from .orc_format import (TK_BYTE, TK_SHORT, TK_INT, TK_LONG,
                                      TK_DATE, TK_STRING, TK_VARCHAR,
                                      TK_CHAR)
