@@ -52,6 +52,20 @@ def cmd_metadata(args) -> int:
     print(f"number of stripes: {len(meta.stripes)}", file=out)
     if meta.row_index_stride:
         print(f"row index stride: {meta.row_index_stride}", file=out)
+    if meta.software_version:
+        print(f"software version: {meta.software_version}", file=out)
+    if meta.stripes:
+        from .orc_format import K_BLOOM_FILTER, K_BLOOM_FILTER_UTF8
+        from .orc_reader import _stripe_layout
+        data = open(args.file, "rb").read()
+        spans, _, _ = _stripe_layout(data, meta, meta.stripes[0])
+        bloom_cids = sorted(c for c, k in spans
+                            if k in (K_BLOOM_FILTER, K_BLOOM_FILTER_UTF8))
+        if bloom_cids:
+            trust = "trusted" if meta.blooms_trusted() \
+                else "untrusted writer - ignored for pruning"
+            print(f"bloom filter columns: {bloom_cids} ({trust})",
+                  file=out)
     print(f"schema:\n{_schema_str(meta)}", file=out)
     if args.stripes:
         print("\n=== Stripes ===", file=out)
