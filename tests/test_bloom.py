@@ -237,6 +237,35 @@ def test_bloom_adjust_requires_nonnull_for_ne_must():
     assert not p.evaluate(lambda c: st_clean, bloom_absent)
 
 
+def test_bloom_through_compound_predicates(bloom_file):
+    """Blooms must compose soundly through And/Or/Not: random compound
+    predicates over the bloom columns return exactly the full-scan
+    filter result."""
+    path, t = bloom_file
+    ids = t["id"].to_pylist()
+    names = t["name"].to_pylist()
+    present = set(ids)
+    absent = next(v for v in range(500_000, 600_000) if v not in present)
+    cases = [
+        # Or of two eqs (the IN-list shape): blooms prune each branch
+        (Predicate.or_([Predicate.eq("id", ids[5]),
+                        Predicate.eq("id", absent)]),
+         lambda d: (d["id"] == ids[5]) | (d["id"] == absent)),
+        # And(eq, range): bloom on the eq leg, stats on the range leg
+        (Predicate.and_([Predicate.eq("name", names[100]),
+                         Predicate.gte("id", 0)]),
+         lambda d: (d["name"] == names[100]) & (d["id"] >= 0)),
+        # Not over Or over eq: three-valued soundness end-to-end
+        (Predicate.not_(Predicate.or_([Predicate.eq("id", absent),
+                                       Predicate.eq("id", ids[9])])),
+         lambda d: ~((d["id"] == absent) | (d["id"] == ids[9]))),
+    ]
+    full = t.to_pandas()
+    for pred, mask_fn in cases:
+        got = read_orc(path, predicate=pred).to_pandas()
+        assert int(mask_fn(got).sum()) == int(mask_fn(full).sum()), pred
+
+
 def test_untrusted_file_bloom_not_used():
     """Pyarrow-written files carry writer=1 (ORC C++) with a modern
     software version -> trusted; but a predicate eq on them must stay
