@@ -8,9 +8,12 @@ This EXCEEDS the reference, which lists bloom filters as roadmap-only
 specification.  Hash functions are the public Apache Hive `Murmur3`
 64-bit flavor (8-byte blocks, seed 104729) and Thomas Wang's 64-bit
 integer mix, as the ORC spec prescribes; correctness is validated
-end-to-end against Java-written fixtures (every value present in
-`over1k_bloom.orc` must test positive in its row group's filter —
-see tests/test_bloom.py), not assumed.
+end-to-end, not assumed: every value present in the Java-hash-
+compatible `bad_bloom_filter_1.6.11.orc` fixture tests positive in
+its column's bitset and seed-0 variants test negative
+(tests/test_bloom.py).  The older `over1k_bloom.orc` fixture uses a
+pre-standard development-era format whose hashing nothing modern
+reproduces — `from_proto` recognizes and ignores that shape.
 
 Position derivation mirrors Java int32 semantics exactly:
 h1 = low 32 bits (signed), h2 = high 32 bits (signed);
@@ -256,12 +259,12 @@ def hash_arrow_array(arr, type_kind: int) -> np.ndarray | None:
     with `hash_value` on every element (property-tested)."""
     import pyarrow as pa
     from ..sources.orc_format import (
-        TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
+        TK_BYTE, TK_SHORT, TK_INT, TK_LONG,
         TK_STRING, TK_VARCHAR, TK_CHAR)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     arr = arr.drop_null()
-    if type_kind in (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE):
+    if type_kind in (TK_BYTE, TK_SHORT, TK_INT, TK_LONG):
         if len(arr) == 0:
             return np.empty(0, dtype=U64)
         return wang_hash64(arr.cast(pa.int64()).to_numpy())
@@ -285,13 +288,14 @@ def hash_value(value, type_kind: int) -> int | None:
     bad_bloom_filter_1.6.11.orc int64 bloom) and utf8 strings
     (Murmur3-64 seed 104729, validated 5/5 against the same file's
     string bloom; seed 0 tests 0/5, confirming the whole pipeline).
-    Floats, timestamps, decimals, booleans and binary return None —
-    their external hash conventions are unverified here, and pruning
-    on a guessed hash risks silent row loss."""
+    Floats, timestamps, dates, decimals, booleans and binary return
+    None — their external hash conventions are unverified here (e.g.
+    no fixture proves whether date blooms hash days or millis), and
+    pruning on a guessed hash risks silent row loss."""
     from ..sources.orc_format import (  # leaf module, no cycle
-        TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
+        TK_BYTE, TK_SHORT, TK_INT, TK_LONG,
         TK_STRING, TK_VARCHAR, TK_CHAR)
-    if type_kind in (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE):
+    if type_kind in (TK_BYTE, TK_SHORT, TK_INT, TK_LONG):
         if isinstance(value, bool) or not isinstance(value, (int,
                                                              np.integer)):
             return None

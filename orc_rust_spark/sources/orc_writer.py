@@ -421,9 +421,8 @@ class OrcWriter:
                     "bloom_columns requires row_index_stride > 0 "
                     "(bloom filters are per row group)")
             from .orc_format import (TK_BYTE, TK_SHORT, TK_INT, TK_LONG,
-                                     TK_DATE, TK_STRING, TK_VARCHAR,
-                                     TK_CHAR)
-            ok_kinds = (TK_BYTE, TK_SHORT, TK_INT, TK_LONG, TK_DATE,
+                                     TK_STRING, TK_VARCHAR, TK_CHAR)
+            ok_kinds = (TK_BYTE, TK_SHORT, TK_INT, TK_LONG,
                         TK_STRING, TK_VARCHAR, TK_CHAR)
             names = [f.name for f in schema]
             for col in bloom_columns:
