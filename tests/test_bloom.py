@@ -266,6 +266,82 @@ def test_bloom_through_compound_predicates(bloom_file):
         assert int(mask_fn(got).sum()) == int(mask_fn(full).sum()), pred
 
 
+def test_bloom_channel_conservative_property():
+    """Property (mirrors test_predicate_conservative_property, with the
+    bloom channel active): over random data, real per-group
+    BloomFilters and random compound predicates, a skipped group
+    provably contains no matching row and a must-match-all verdict
+    means every row matches."""
+    import random
+
+    rng = random.Random(13)
+    nprng = np.random.default_rng(13)
+    n = 10_000
+    group = 500
+    k = nprng.integers(-300, 300, n).astype(np.int64)
+    s = np.array([f"w{int(x):03d}" for x in nprng.integers(0, 120, n)])
+
+    groups = []
+    for g0 in range(0, n, group):
+        sl = slice(g0, g0 + group)
+        bk = BloomFilter.build(group, 0.05)
+        bk.add_hashes(wang_hash64(k[sl]))
+        bs = BloomFilter.build(group, 0.05)
+        bs.add_hashes(np.array(
+            [murmur3_hash64(x.encode()) for x in s[sl]], dtype=np.uint64))
+        stats = {
+            "k": ColStats(int(k[sl].min()), int(k[sl].max()), group, False),
+            "s": ColStats(str(min(s[sl])), str(max(s[sl])), group, False),
+        }
+        groups.append((sl, stats, {"k": bk, "s": bs}))
+
+    def leaf():
+        if rng.random() < 0.5:
+            op = rng.choice(["eq", "ne", "lt", "gt"])
+            return getattr(Predicate, op)("k", rng.randint(-350, 350))
+        op = rng.choice(["eq", "ne"])
+        return getattr(Predicate, op)("s", f"w{rng.randint(0, 140):03d}")
+
+    def exact(node):
+        if node.kind == "and":
+            m = np.ones(n, dtype=bool)
+            for c in node.children:
+                m &= exact(c)
+            return m
+        if node.kind == "or":
+            m = np.zeros(n, dtype=bool)
+            for c in node.children:
+                m |= exact(c)
+            return m
+        if node.kind == "not":
+            return ~exact(node.children[0])
+        col = {"k": k, "s": s}[node.column]
+        v = node.value
+        return {"eq": col == v, "ne": col != v,
+                "lt": col < v, "gt": col > v}[node.op]
+
+    kinds = {"k": TK_LONG, "s": TK_STRING}
+    for trial in range(60):
+        parts = [leaf() for _ in range(rng.randint(1, 3))]
+        pred = parts[0] if len(parts) == 1 else \
+            (Predicate.and_(parts) if rng.random() < 0.5
+             else Predicate.or_(parts))
+        if rng.random() < 0.4:
+            pred = Predicate.not_(pred)
+        truth = exact(pred)
+        for sl, stats, blooms in groups:
+            def bloom_of(col, v, _b=blooms):
+                h = hash_value(v, kinds[col])
+                return None if h is None \
+                    else _b[col].might_contain_hash(h)
+            may, must = pred._evaluate3(
+                lambda c: stats.get(c), bloom_of)
+            if not may:
+                assert not truth[sl].any(), (trial, repr(pred))
+            if must:
+                assert truth[sl].all(), (trial, repr(pred))
+
+
 def test_untrusted_file_bloom_not_used():
     """Pyarrow-written files carry writer=1 (ORC C++) with a modern
     software version -> trusted; but a predicate eq on them must stay
