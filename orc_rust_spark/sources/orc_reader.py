@@ -852,6 +852,36 @@ def read_orc(path: str, columns: list[str] | None = None,
     return pa.concat_tables(batches)
 
 
+def stripes_matching(meta: OrcMeta, predicate) -> list[int]:
+    """Planning-time stripe pruning: indices of stripes whose Metadata-
+    section statistics may contain predicate-matching rows.  Lets a
+    distributed scan avoid SCHEDULING tasks for provably-empty stripes
+    (on a large cluster a selective predicate otherwise fans out
+    thousands of no-op tasks); the per-task read re-applies the same
+    filter, so this is purely a planning optimization.  Stripes with no
+    recorded statistics are conservatively kept."""
+    if predicate is None or not meta.stripes:
+        return list(range(len(meta.stripes)))
+    from .predicate import Predicate
+    pred = Predicate.from_range_dict(predicate) \
+        if isinstance(predicate, dict) else predicate
+    names, root_cids = _root_fields(meta)
+    col_to_cid = dict(zip(names, root_cids))
+    keep = []
+    for sidx in range(len(meta.stripes)):
+        if sidx < len(meta.stripe_stats):
+            stats = meta.stripe_stats[sidx]
+
+            def stats_of(col, _s=stats):
+                cid = col_to_cid.get(col)
+                return _s.get(cid) if cid is not None else None
+
+            if not pred.evaluate(stats_of):
+                continue
+        keep.append(sidx)
+    return keep
+
+
 def _subtree_cids(meta: OrcMeta, cid: int) -> list[int]:
     out = [cid]
     for s in meta.types[cid]["subtypes"]:

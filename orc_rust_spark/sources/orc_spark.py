@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.types as T
 
 from ..operators.decode import spark_schema_for
-from .orc_reader import arrow_schema, read_metadata, read_orc
+from .orc_reader import (arrow_schema, read_metadata, read_orc,
+                         stripes_matching)
 from .orc_writer import OrcWriter
 
 
@@ -83,9 +84,17 @@ def read_orc_spark(spark: SparkSession, path: str,
                     "row_selection shorter than the dataset "
                     f"(exhausted inside {f})")
             fsel = [(s.row_count, s.skip) for s in fs.selectors]
+        # planning-time stripe pruning: the tail's per-stripe statistics
+        # are already parsed, so provably-empty stripes never become
+        # (or join) tasks — a selective predicate over a huge dataset
+        # schedules only the stripes that may match, instead of fanning
+        # out no-op tasks cluster-wide
+        want = set(stripes_matching(meta, predicate))
         cur: list[int] = []
         cur_bytes = 0
         for i, s in enumerate(meta.stripes):
+            if i not in want:
+                continue
             cur.append(i)
             cur_bytes += (s["index_length"] + s["data_length"]
                           + s["footer_length"])
@@ -94,6 +103,8 @@ def read_orc_spark(spark: SparkSession, path: str,
                 cur, cur_bytes = [], 0
         if cur or not meta.stripes:
             tasks.append((f, cur, fsel))
+    if not tasks:  # every stripe pruned: one empty task keeps the schema
+        tasks.append((files[0], [], None))
     if sel_rest is not None and sel_rest.row_count():
         raise ValueError(
             f"row_selection covers {row_selection.row_count()} rows, "

@@ -119,6 +119,34 @@ def test_single_file_multi_stripe_splits_to_tasks(spark, tmp_path):
     assert got == n * (n - 1) // 2
 
 
+def test_planning_time_stripe_pruning(spark, tmp_path):
+    """A selective predicate prunes stripes at PLANNING time: the scan
+    schedules tasks only for stripes whose statistics may match, and
+    an all-pruned predicate still yields an empty DataFrame with the
+    right schema (no task fan-out)."""
+    import numpy as np
+    from orc_rust_spark.sources.orc_writer import OrcWriter
+    from orc_rust_spark.sources.predicate import Predicate as P
+    path = str(tmp_path / "planned.orc")
+    n = 100_000
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    w = OrcWriter(path, tbl.schema)
+    for b in tbl.to_batches(max_chunksize=20_000):
+        w.write_batch(b)
+    w.close()
+
+    # one stripe matches: a single task regardless of split size
+    df = read_orc_spark(spark, path, predicate=P.eq("k", 50_000),
+                        split_bytes=1 << 12)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.filter(F.col("k") == 50_000).count() == 1
+
+    # nothing matches: empty result, schema intact, single stub task
+    df0 = read_orc_spark(spark, path, predicate=P.gt("k", 10**9))
+    assert df0.count() == 0
+    assert df0.columns == ["k"]
+
+
 def test_write_orc_spark_byte_estimate_flush(spark, tmp_path):
     """Wide rows must produce multiple stripes without caller-side
     stripe_rows tuning (`src/arrow_writer.rs:111-122` 64 MiB analog —
