@@ -34,6 +34,31 @@ from .orc_writer import OrcWriter
 
 
 
+def _plan_orc_file(f: str, predicate, split_bytes: int):
+    """One file's plan: (total rows, [stripe-id chunks of ~split_bytes])
+    with predicate-pruned stripes dropped.  Pure function of the file
+    tail — runs on the driver for small datasets and inside a planning
+    job for large ones."""
+    meta = read_metadata(f)
+    n_file = sum(s["n_rows"] for s in meta.stripes)
+    want = set(stripes_matching(meta, predicate))
+    chunks: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for i, s in enumerate(meta.stripes):
+        if i not in want:
+            continue
+        cur.append(i)
+        cur_bytes += (s["index_length"] + s["data_length"]
+                      + s["footer_length"])
+        if cur_bytes >= split_bytes:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+    if cur or not meta.stripes:
+        chunks.append(cur)
+    return n_file, chunks
+
+
 def read_orc_spark(spark: SparkSession, path: str,
                    columns: list[str] | None = None,
                    predicate: dict[str, tuple] | None = None,
@@ -72,37 +97,37 @@ def read_orc_spark(spark: SparkSession, path: str,
         from .row_selection import RowSelection
         sel_rest = RowSelection(list(row_selection.selectors))
 
+    # per-file planning: tail parse + planning-time stripe pruning (the
+    # tail's per-stripe statistics are already in hand, so provably-
+    # empty stripes never become or join tasks — a selective predicate
+    # over a huge dataset schedules only the stripes that may match,
+    # instead of fanning out no-op tasks cluster-wide), then byte-range
+    # chunking into ~split_bytes task units
+    if sel_rest is None and len(files) >= 64:
+        # many files: the tail reads themselves are the planning
+        # bottleneck (one driver round-trip per file at 100k-file
+        # scale), so fan planning out as a tiny metadata job — each
+        # result is O(#chunks) ints, the collect stays bounded
+        sc = spark.sparkContext
+        planned = sc.parallelize(files, max(1, len(files) // 32)).map(
+            lambda f, _p=predicate, _b=split_bytes:
+            _plan_orc_file(f, _p, _b)).collect()
+    else:
+        planned = [_plan_orc_file(f, predicate, split_bytes)
+                   for f in files]
+
     tasks: list[tuple[str, list[int], list[tuple[int, bool]] | None]] = []
-    for f in files:
-        meta = read_metadata(f)
+    for f, (n_file, chunks) in zip(files, planned):
         fsel = None
         if sel_rest is not None:
-            n_file = sum(s["n_rows"] for s in meta.stripes)
             fs = sel_rest.split_off(n_file)
             if fs.row_count() != n_file:
                 raise ValueError(
                     "row_selection shorter than the dataset "
                     f"(exhausted inside {f})")
             fsel = [(s.row_count, s.skip) for s in fs.selectors]
-        # planning-time stripe pruning: the tail's per-stripe statistics
-        # are already parsed, so provably-empty stripes never become
-        # (or join) tasks — a selective predicate over a huge dataset
-        # schedules only the stripes that may match, instead of fanning
-        # out no-op tasks cluster-wide
-        want = set(stripes_matching(meta, predicate))
-        cur: list[int] = []
-        cur_bytes = 0
-        for i, s in enumerate(meta.stripes):
-            if i not in want:
-                continue
-            cur.append(i)
-            cur_bytes += (s["index_length"] + s["data_length"]
-                          + s["footer_length"])
-            if cur_bytes >= split_bytes:
-                tasks.append((f, cur, fsel))
-                cur, cur_bytes = [], 0
-        if cur or not meta.stripes:
-            tasks.append((f, cur, fsel))
+        for ids in chunks:
+            tasks.append((f, ids, fsel))
     if not tasks:  # every stripe pruned: one empty task keeps the schema
         tasks.append((files[0], [], None))
     if sel_rest is not None and sel_rest.row_count():

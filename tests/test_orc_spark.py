@@ -147,6 +147,33 @@ def test_planning_time_stripe_pruning(spark, tmp_path):
     assert df0.columns == ["k"]
 
 
+def test_distributed_planning_many_files(spark, tmp_path):
+    """>= 64 files routes planning through the metadata fan-out job;
+    results (incl. predicate pruning) match the serial path."""
+    import numpy as np
+    from orc_rust_spark.sources.orc_writer import write_orc
+    from orc_rust_spark.sources.predicate import Predicate as P
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files, rows = 70, 500
+    for fi in range(n_files):
+        base = fi * rows
+        t = pa.table({"k": pa.array(
+            np.arange(base, base + rows, dtype=np.int64))})
+        write_orc(str(d / f"part-{fi:03d}.orc"), t)
+    df = read_orc_spark(spark, str(d))
+    total = n_files * rows
+    assert df.count() == total
+    assert df.agg(F.sum("k")).collect()[0][0] == total * (total - 1) // 2
+    # predicate hits exactly two files' ranges
+    hit = read_orc_spark(spark, str(d),
+                         predicate=P.and_([P.gte("k", 990),
+                                           P.lte("k", 1010)]))
+    assert hit.rdd.getNumPartitions() == 2
+    assert hit.filter((F.col("k") >= 990) & (F.col("k") <= 1010)) \
+        .count() == 21
+
+
 def test_write_orc_spark_byte_estimate_flush(spark, tmp_path):
     """Wide rows must produce multiple stripes without caller-side
     stripe_rows tuning (`src/arrow_writer.rs:111-122` 64 MiB analog —
