@@ -22,12 +22,10 @@ from orc_rust_spark.sources.orc_reader import read_orc
 
 DATA = "/root/reference/tests/integration/data"
 
-# codecs whose libraries are absent from this image (import-guarded in
-# kernels/compression.py) or formats out of scope (ORCv2 preview)
-SKIP = {
-    "decimal64_v2.orc": "ORCv2 preview format (UNSTABLE-PRE-2.0)",
-    "decimal64_v2_cplusplus.orc": "ORCv2 preview format (UNSTABLE-PRE-2.0)",
-}
+# nothing is skipped by name anymore: the ORCv2-preview decimal64
+# fixtures decode via the no-SECONDARY decimal64 path (value-identical
+# to pyarrow, which reads them with a version warning)
+SKIP: dict[str, str] = {}
 
 FIXTURES = sorted(os.path.basename(f)
                   for f in glob.glob(os.path.join(DATA, "*.orc")))
@@ -103,3 +101,14 @@ def test_non_struct_root_int():
     t = read_orc(path)
     assert t.column_names == ["_col0"]
     assert t.column(0).to_pylist() == list(range(1, 101))
+
+
+def test_zero_byte_file_clear_error():
+    """zero.orc is a 0-byte file: the reader must fail with a clear
+    not-an-ORC-file error, not an index crash (pyarrow: 'File size too
+    small')."""
+    path = os.path.join(DATA, "zero.orc")
+    if not os.path.exists(path):
+        pytest.skip("fixture unavailable")
+    with pytest.raises(ValueError, match="not an ORC file"):
+        read_orc(path)
