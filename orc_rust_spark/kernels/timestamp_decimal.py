@@ -136,10 +136,15 @@ def decimal_encode(mantissas, scale: int) -> tuple[bytes, bytes]:
     reads.  The reference writer emits no decimals; this exists so
     decimal columns are first-class in our stripe sink."""
     from .rle_v2 import rle_v2_encode
-    from .util import write_varint_zigzagged
+    from .util import write_varint
     out = bytearray()
     for m in mantissas:
-        write_varint_zigzagged(out, int(m), True)
+        # UNBOUNDED zigzag (2v / -2v-1): decimal mantissa varints are
+        # not 64-bit-wrapped — int128 values (precision > 18) must keep
+        # every bit.  Identical bytes to the 64-bit scalar for every
+        # int64-range value, so precision <= 18 streams are unchanged.
+        m = int(m)
+        write_varint(out, 2 * m if m >= 0 else -2 * m - 1)
     sec = rle_v2_encode(np.full(len(mantissas), scale, dtype=I64), signed=True)
     return bytes(out), sec
 

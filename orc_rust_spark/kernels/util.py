@@ -207,7 +207,8 @@ def signed_msb_decode_scalar(encoded: int, byte_size: int) -> int:
 # ---------------------------------------------------------------------------
 
 def write_varint(out: bytearray, value: int) -> None:
-    """Unsigned LEB128. value must be a non-negative Python int < 2^64."""
+    """Unsigned LEB128 of any non-negative Python int (int64 streams
+    pass < 2^64; decimal mantissa streams may pass int128 values)."""
     byte_size = max((value.bit_length() + 6) // 7, 1)
     for i in range(byte_size - 1):
         out.append(0x80 | ((value >> (7 * i)) & 0x7F))

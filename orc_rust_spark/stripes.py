@@ -348,10 +348,13 @@ def _combine(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
-def _decimal_mantissas(arr: pa.Array) -> np.ndarray:
-    """int64 mantissas of a decimal128 array (no nulls).  Arrow stores
-    decimal128 as 16-byte little-endian ints; for precision <= 18 the
-    value is the sign-extended low word — validated, not assumed."""
+def _decimal_mantissas(arr: pa.Array):
+    """Mantissas of a decimal128 array (no nulls): an int64 ndarray
+    when every value's high word is the low word's sign extension
+    (precision <= 18 always is — validated, not assumed), else a list
+    of exact python ints reassembled from the 16-byte little-endian
+    pairs (the varint encoder is unbounded, so precision > 18 columns
+    cost a per-value loop but lose nothing)."""
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -359,8 +362,9 @@ def _decimal_mantissas(arr: pa.Array) -> np.ndarray:
     lo = pairs[2 * arr.offset: 2 * (arr.offset + n): 2]
     hi = pairs[2 * arr.offset + 1: 2 * (arr.offset + n) + 1: 2]
     if not np.array_equal(hi, lo >> np.int64(63)):
-        raise ValueError("decimal mantissas beyond int64 are unsupported "
-                         "(precision > 18)")
+        lo_u = lo.view(np.uint64)
+        return [(int(h) << 64) | int(lu)
+                for h, lu in zip(hi.tolist(), lo_u.tolist())]
     return lo.copy()
 
 
@@ -643,15 +647,21 @@ def _decode_tree(metas, mi: int, stream_for, n: int) -> tuple[pa.Array, int]:
     if tcode == T_DECIMAL128:
         from .kernels.timestamp_decimal import decimal_decode
         prec, scl = aux >> 8, aux & 0xFF
-        mant = np.array(
-            decimal_decode(stream(K_DATA), stream(K_SECONDARY), n_valid, scl),
-            dtype=np.int64)
-        storage = np.empty((n_valid, 2), dtype=np.int64)
-        storage[:, 0] = mant
-        storage[:, 1] = mant >> np.int64(63)
+        mlist = decimal_decode(stream(K_DATA), stream(K_SECONDARY),
+                               n_valid, scl)
+        try:
+            mant = np.array(mlist, dtype=np.int64)
+            storage = np.empty((n_valid, 2), dtype=np.int64)
+            storage[:, 0] = mant
+            storage[:, 1] = mant >> np.int64(63)
+            raw16 = storage.tobytes()
+        except OverflowError:
+            # precision > 18: exact 16-byte little-endian int128s
+            raw16 = b"".join(int(m).to_bytes(16, "little", signed=True)
+                             for m in mlist)
         arr = pa.Array.from_buffers(
             pa.decimal128(prec, scl), n_valid,
-            [None, pa.py_buffer(storage.tobytes())])
+            [None, pa.py_buffer(raw16)])
         return _expand_with_nulls(arr, validity, n), mi + 1
 
     atype = _arrow_type(tcode)
