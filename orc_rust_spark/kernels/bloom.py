@@ -299,6 +299,10 @@ def hash_value(value, type_kind: int) -> int | None:
         if isinstance(value, bool) or not isinstance(value, (int,
                                                              np.integer)):
             return None
+        # literals outside int64 can never be present in an int column;
+        # decline to prune (None) rather than overflow building np.int64
+        if not (-(1 << 63) <= int(value) < (1 << 63)):
+            return None
         return int(wang_hash64(np.array([value], dtype=np.int64))[0])
     if type_kind in (TK_STRING, TK_VARCHAR, TK_CHAR):
         if not isinstance(value, str):

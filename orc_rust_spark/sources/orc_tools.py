@@ -56,8 +56,16 @@ def cmd_metadata(args) -> int:
         print(f"software version: {meta.software_version}", file=out)
     if meta.stripes:
         from .orc_format import K_BLOOM_FILTER, K_BLOOM_FILTER_UTF8
-        from .orc_reader import _stripe_layout
-        data = open(args.file, "rb").read()
+        from .orc_reader import _SpanBytes, _stripe_layout
+        # metadata-only CLI: read just stripe 0's covering byte range
+        # (offset..offset+index+data+footer), not the whole file
+        s0 = meta.stripes[0]
+        lo = s0["offset"]
+        hi = lo + s0["index_length"] + s0["data_length"] \
+            + s0["footer_length"]
+        with open(args.file, "rb") as f:
+            f.seek(lo)
+            data = _SpanBytes(f.read(hi - lo), lo)
         spans, _, _ = _stripe_layout(data, meta, meta.stripes[0])
         bloom_cids = sorted(c for c, k in spans
                             if k in (K_BLOOM_FILTER, K_BLOOM_FILTER_UTF8))
