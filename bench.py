@@ -12,6 +12,17 @@ Scaling protocol (BASELINE.md): tools/bench_scaling.py runs this file
 pinned to N and 4N cores (taskset) on the identical corpus and computes
 throughput scaling efficiency; SPARK_GRAFT_CODEC_ONLY=1 limits the run
 to the encode/decode measurements.
+
+Tenancy self-adjudication (round-5): every rep is bracketed by exact
+external-CPU accounting (tools/tenancy.py — host busy jiffies minus our
+own process tree's).  A rep with > SPARK_GRAFT_EXT_LOAD_MAX external
+cores (default 2.0) is re-queued within a bounded shared retry budget
+(SPARK_GRAFT_RETRY_BUDGET, default 8 extra reps per run); the JSON
+carries per-rep {sec, ext_cores, own_cores, loadavg} under
+"rep_detail" plus per-query and top-level "polluted" flags, so a
+BENCH_r04-style artifact (recorded under neighbor load 10-21, 29 s for
+a 1.4 s query) now flags itself instead of masquerading as a
+regression.
 """
 
 from __future__ import annotations
@@ -40,6 +51,8 @@ N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "240000"))
 CODEC_ONLY = os.environ.get("SPARK_GRAFT_CODEC_ONLY") == "1"
 CORPUS_DIR = os.environ.get(
     "SPARK_GRAFT_CORPUS_DIR", f"/tmp/tokencoder_corpus_{N_SYNTH_DOCS}")
+EXT_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_EXT_LOAD_MAX", "2.0"))
+RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "8"))
 
 
 def main() -> None:
@@ -80,18 +93,19 @@ def main() -> None:
     decode_pass(warm_stripes, TOKEN_SCHEMA).count()
     warm_stripes.unpersist()
 
+    from tools.tenancy import ExternalLoadMonitor, adjudicated_min
+
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    rep_detail: dict[str, dict] = {}
+    monitor = ExternalLoadMonitor()
+    retry_budget = [RETRY_BUDGET]
 
     def timed(name: str, fn, reps: int = 1):
-        best = None
-        out = None
-        for _ in range(reps):
-            t0 = time.monotonic()
-            out = fn()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        best, out, recs, polluted = adjudicated_min(
+            fn, reps, monitor, EXT_LOAD_MAX, retry_budget)
         timings[name] = round(best, 3)
+        rep_detail[name] = {"reps": recs, "polluted": polluted}
         return out
 
     # --- fused scan+encode and decode: the GB/s measurements -------------
@@ -140,6 +154,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "extra": extra,
+        "polluted": any(d["polluted"] for d in rep_detail.values()),
+        "ext_load_max": EXT_LOAD_MAX,
+        "retries_used": RETRY_BUDGET - retry_budget[0],
+        "rep_detail": rep_detail,
     }))
     spark.stop()
 

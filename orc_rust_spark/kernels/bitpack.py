@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .util import U64
+from .util import U64, iota32
 
 
 def pack_ints(values: np.ndarray, width: int) -> bytes:
@@ -220,6 +220,25 @@ def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
                            byte_lens, width, n)
 
 
+def _drop_group_pad(flat: np.ndarray, lens: np.ndarray,
+                    groups: np.ndarray, n: int) -> np.ndarray:
+    """Keep the first lens[k] of each segment's group-padded 8-value
+    slots: a direct segmented gather (repeat + cached iota + one fancy
+    read) — less traffic than the boolean-mask compaction it replaces
+    (no full-padded-length compare pass, no mask scan)."""
+    K = len(lens)
+    pad_vals = groups * 8
+    total_pad = int(pad_vals.sum())
+    vt = np.int32 if total_pad < 2**31 else np.int64
+    vstarts = np.zeros(K, dtype=vt)
+    np.cumsum(pad_vals[:-1].astype(vt), out=vstarts[1:])
+    tstarts = np.zeros(K, dtype=vt)
+    np.cumsum(lens[:-1].astype(vt), out=tstarts[1:])
+    idx = np.repeat(vstarts - tstarts, lens)
+    idx += iota32(n) if vt is np.int32 else np.arange(n, dtype=vt)
+    return flat[idx]
+
+
 def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
                     byte_lens: np.ndarray, width: int, n: int) -> np.ndarray:
     """Inverse of `_pack_groups8` for any non-byte-aligned width: each
@@ -241,8 +260,8 @@ def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
         pstart = np.zeros(K, dtype=it)
         np.cumsum((groups[:-1] * width).astype(it), out=pstart[1:])
         nb = int(byte_lens.sum())
-        tgt = (np.arange(nb, dtype=it)
-               + np.repeat(pstart - boffs, byte_lens))
+        tgt = np.repeat(pstart - boffs, byte_lens)
+        tgt += iota32(nb) if it is np.int32 else np.arange(nb, dtype=it)
         pbytes = np.zeros(n_pad_bytes, dtype=np.uint8)
         pbytes[tgt] = raw[:nb]
     gm = np.zeros((n_pad_bytes // width, 8), dtype=np.uint8)
@@ -277,15 +296,7 @@ def _unpack_groups8(raw: np.ndarray, lens: np.ndarray,
     flat = vals8.reshape(-1)
     if aligned:
         return flat[:n]
-    # drop the per-segment zero-padded tail values
-    pad_vals = groups * 8
-    total_pad = int(pad_vals.sum())
-    vt = np.int32 if total_pad < 2**31 else np.int64
-    vstarts = np.zeros(K, dtype=vt)
-    np.cumsum(pad_vals[:-1].astype(vt), out=vstarts[1:])
-    keep = (np.arange(total_pad, dtype=vt)
-            < np.repeat(vstarts + lens.astype(vt), pad_vals))
-    return flat[keep]
+    return _drop_group_pad(flat, lens, groups, n)
 
 
 def _unpack_groups4(raw: np.ndarray, lens: np.ndarray,
@@ -308,8 +319,8 @@ def _unpack_groups4(raw: np.ndarray, lens: np.ndarray,
         pstart = np.zeros(K, dtype=it)
         np.cumsum((groups[:-1] * width).astype(it), out=pstart[1:])
         nb = int(byte_lens.sum())
-        tgt = (np.arange(nb, dtype=it)
-               + np.repeat(pstart - boffs, byte_lens))
+        tgt = np.repeat(pstart - boffs, byte_lens)
+        tgt += iota32(nb) if it is np.int32 else np.arange(nb, dtype=it)
         pbytes = np.zeros(n_pad_bytes, dtype=np.uint8)
         pbytes[tgt] = raw[:nb]
     m = n_pad_bytes // width
@@ -335,14 +346,7 @@ def _unpack_groups4(raw: np.ndarray, lens: np.ndarray,
     flat = vals8.reshape(-1)
     if aligned:
         return flat[:n]
-    pad_vals = groups * 8
-    total_pad = int(pad_vals.sum())
-    vt = np.int32 if total_pad < 2**31 else np.int64
-    vstarts = np.zeros(K, dtype=vt)
-    np.cumsum(pad_vals[:-1].astype(vt), out=vstarts[1:])
-    keep = (np.arange(total_pad, dtype=vt)
-            < np.repeat(vstarts + lens.astype(vt), pad_vals))
-    return flat[keep]
+    return _drop_group_pad(flat, lens, groups, n)
 
 
 def _pack_groups4(v: np.ndarray, lens: np.ndarray, width: int,

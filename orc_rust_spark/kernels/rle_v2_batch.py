@@ -1025,6 +1025,7 @@ def _plan_literals(v, la, ll, lit_sids, seg_len, signed, width_bits,
 from .bitpack import unpack_ints_segmented  # noqa: E402
 from .rle_v2 import _HDR_DELTA, _HDR_SHORT_REPEAT  # noqa: E402
 from .util import (  # noqa: E402
+    iota32,
     rle_v2_decode_bit_width,
     zigzag_decode,
 )
@@ -1045,7 +1046,10 @@ def _scatter(out: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
     starts = np.zeros(len(ln), dtype=it)
     np.cumsum(ln[:-1], out=starts[1:])
     total = int(ln.sum(dtype=np.int64))
-    idx = np.arange(total, dtype=it) + np.repeat(off - starts, ln)
+    idx = np.repeat(off - starts, ln)
+    # add the cached iota in place: one fewer full-length temp + write
+    idx += iota32(total) if it is np.int32 \
+        else np.arange(total, dtype=it)
     out[idx] = vals
 
 
@@ -1085,8 +1089,9 @@ def _gather_spans(pad: np.ndarray, starts: np.ndarray,
     tot = int(nbs.sum(dtype=np.int64))
     st = np.zeros(len(nbs), dtype=it)
     np.cumsum(nbs[:-1], out=st[1:])
-    idx = np.arange(tot, dtype=it) \
-        + np.repeat(starts.astype(it, copy=False) - st, nbs)
+    idx = np.repeat(starts.astype(it, copy=False) - st, nbs)
+    idx += iota32(tot) if it is np.int32 \
+        else np.arange(tot, dtype=it)
     return pad[idx]
 
 
@@ -1262,7 +1267,12 @@ def rle_v2_decode_batch(buf, n: int, signed: bool = True,
             starts = np.zeros(len(ln), dtype=np.int64)
             np.cumsum(ln[:-1], out=starts[1:])
             total = int(ln.sum())
-            pos_in = np.arange(total, dtype=np.int64) - np.repeat(starts, ln)
+            if total < 2**31:
+                pos_in = np.repeat(-starts.astype(np.int32), ln)
+                pos_in += iota32(total)
+            else:
+                pos_in = np.arange(total, dtype=np.int64) \
+                    - np.repeat(starts, ln)
             vals = np.repeat(base[fdm], ln) + pos_in * np.repeat(delta[fdm], ln)
             _scatter(out, off_l[fdm], ln, vals)
         vdm = ~fdm

@@ -57,6 +57,24 @@ def bits_used_scalar(v: int) -> int:
     return int(v).bit_length()
 
 
+_IOTA32 = np.empty(0, dtype=np.int32)
+
+
+def iota32(n: int) -> np.ndarray:
+    """A read-only view of [0, n) as int32, served from a per-process
+    cache that grows monotonically.  The decode hot loops build a fancy
+    index per block group (`arange(total) + repeat(...)`); reusing one
+    iota buffer turns that arange's full-length write pass into a read
+    of an already-resident buffer — pure memory-traffic savings, which
+    is the decode scaling bottleneck at >1 core.  Callers must treat
+    the result as immutable (add into a separate output instead)."""
+    global _IOTA32
+    if len(_IOTA32) < n:
+        _IOTA32 = np.arange(max(n, 1 << 16), dtype=np.int32)
+        _IOTA32.setflags(write=False)
+    return _IOTA32[:n]
+
+
 def bits_used(values: np.ndarray) -> np.ndarray:
     """Vectorized bit length for a uint array (exact for all 64 bits).
 
