@@ -32,17 +32,24 @@ from .util import I64, read_varint_zigzagged
 ORC_TS_BASE_SECONDS = 1_420_070_400
 
 
-def timestamp_decode(data_stream, secondary_stream, n: int,
-                     base_seconds: int = ORC_TS_BASE_SECONDS,
-                     rle_version: int = 2,
-                     skip_data: int = 0,
-                     skip_secondary: int = 0,
-                     exact: bool = True) -> np.ndarray:
-    """Decode the two-stream timestamp encoding to int64 nanoseconds
-    since the unix epoch (vectorized).  `rle_version=1` decodes the
-    seconds/nanos streams with RLEv1 (ORC v0.11 files).  The skips
-    implement the row-index mid-run seek (decode-and-discard of the
-    leading values of the run each stream's position points into)."""
+def timestamp_decode_parts(data_stream, secondary_stream, n: int,
+                           base_seconds: int = ORC_TS_BASE_SECONDS,
+                           rle_version: int = 2,
+                           skip_data: int = 0,
+                           skip_secondary: int = 0,
+                           exact: bool = True
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the two-stream timestamp encoding to the exact
+    (seconds since unix epoch, sub-second nanoseconds) pair — the full
+    ORC timestamp domain, which an int64-nanoseconds intermediate
+    cannot hold for instants beyond ±292 years (the reason the
+    reference offers the Decimal128(38,9) representation,
+    `src/encoding/timestamp.rs:76-78`).  Unit conversion/overflow
+    policy is the CALLER's (`src/encoding/timestamp.rs:153-192`).
+    `rle_version=1` decodes the seconds/nanos streams with RLEv1 (ORC
+    v0.11 files).  The skips implement the row-index mid-run seek
+    (decode-and-discard of the leading values of the run each stream's
+    position points into)."""
     _dec = rle_v2_decode if rle_version == 2 else _rle_v1_decode
     seconds = _dec(data_stream, n + skip_data, signed=True,
                    exact=exact)[skip_data:] + np.int64(base_seconds)
@@ -56,6 +63,20 @@ def timestamp_decode(data_stream, secondary_stream, n: int,
     # (`src/encoding/timestamp.rs:137-141`)
     adjust = (seconds < 0) & (nanos > 999_999)
     seconds = np.where(adjust, seconds - 1, seconds)
+    return seconds, nanos
+
+
+def timestamp_decode(data_stream, secondary_stream, n: int,
+                     base_seconds: int = ORC_TS_BASE_SECONDS,
+                     rle_version: int = 2,
+                     skip_data: int = 0,
+                     skip_secondary: int = 0,
+                     exact: bool = True) -> np.ndarray:
+    """Decode the two-stream timestamp encoding to int64 nanoseconds
+    since the unix epoch (vectorized); see `timestamp_decode_parts`."""
+    seconds, nanos = timestamp_decode_parts(
+        data_stream, secondary_stream, n, base_seconds, rle_version,
+        skip_data, skip_secondary, exact)
     return seconds * np.int64(1_000_000_000) + nanos
 
 

@@ -962,6 +962,33 @@ def q_orc_external_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("l_orderkey") <= 20_000))
 
 
+def q_orc_many_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-planning gate (the ≥64-file path of
+    `sources/orc_spark.py`: at many-file scale the per-file tail reads
+    are themselves the planning bottleneck, so planning fans out as a
+    bounded metadata job with planning-time stripe pruning): lineitem
+    is range-partitioned on l_orderkey into 96 small real `.orc` files
+    — the 100k-file corpus shape in miniature — then read back through
+    the distributed source under a predicate.  Planning runs as a
+    Spark job (96 ≥ 64); whole files outside [10k, 20k] are pruned at
+    planning time from their tails alone, and the exact filter on top
+    makes the result oracle-comparable (same oracle as the row-index
+    gate: the row SET is invariant to the file layout)."""
+    import tempfile
+    from .sources.orc_spark import read_orc_spark, write_orc_spark
+    from .sources.predicate import Predicate as P
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    out = tempfile.mkdtemp(prefix="orc_many_")
+    write_orc_spark(li.repartitionByRange(96, "l_orderkey"), out,
+                    compression=1, row_index_stride=2_500).collect()
+    pred = P.and_([P.gte("l_orderkey", 10_000), P.lte("l_orderkey", 20_000)])
+    rt = read_orc_spark(spark, out, predicate=pred)
+    return rt.filter((F.col("l_orderkey") >= 10_000)
+                     & (F.col("l_orderkey") <= 20_000))
+
+
 def q_orc_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pruning gate (EXCEEDS the reference — bloom filters
     are roadmap-only there, `README.md:31-39`): write lineitem as real
@@ -1081,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rle_v1_fixture"] = q_rle_v1_fixture
     q["orc_rowindex_pruned"] = q_orc_rowindex_pruned
     q["orc_external_pruned"] = q_orc_external_pruned
+    q["orc_many_files"] = q_orc_many_files
     q["orc_bloom_pruned"] = q_orc_bloom_pruned
     q["orc_row_selection"] = q_orc_row_selection
     q["events_json"] = _sql_query(sql_events_json, ["events"])
@@ -1103,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
     o["rle_v1_fixture"] = _RLEV1_ORACLE
     o["orc_rowindex_pruned"] = _ORC_RI_ORACLE
     o["orc_external_pruned"] = _ORC_RI_ORACLE
+    o["orc_many_files"] = _ORC_RI_ORACLE
     o["orc_bloom_pruned"] = _ORC_BLOOM_ORACLE
     o["orc_row_selection"] = _ORC_SEL_ORACLE
     o["pipeline_encode_corpus"] = _TOKENS_ORACLE_BASE

@@ -27,7 +27,8 @@ from ..kernels.compression import decompress_stream
 from ..kernels.float_codec import float_decode
 from ..kernels.rle_v1 import rle_v1_decode
 from ..kernels.rle_v2 import rle_v2_decode
-from ..kernels.timestamp_decimal import decimal_decode, timestamp_decode
+from ..kernels.timestamp_decimal import (decimal_decode,
+                                         timestamp_decode_parts)
 from ..kernels.util import ValueSpan, read_varint, unwrap_span
 
 from .orc_format import (  # noqa: F401  (shared spec enums)
@@ -439,9 +440,11 @@ def _writer_tz_base_seconds(tz_name: str) -> int:
     return int(datetime(2015, 1, 1, tzinfo=ZoneInfo(tz_name)).timestamp())
 
 
-def _tz_to_utc_ns(decoded_ns: np.ndarray, tz_name: str) -> np.ndarray:
-    """Convert TIMESTAMP values decoded against the UTC 2015 epoch into
-    their correct UTC instants for a non-UTC writerTimezone.
+def _tz_to_utc_seconds(seconds: np.ndarray, tz_name: str) -> np.ndarray:
+    """Convert TIMESTAMP seconds decoded against the UTC 2015 epoch
+    into their correct UTC instants for a non-UTC writerTimezone (the
+    sub-second nanos are timezone-invariant, so working in the seconds
+    domain also avoids the int64-ns overflow for far dates).
 
     Mirrors `src/array_decoder/timestamp.rs:236-291`: re-base to the
     writer-zone epoch, then shift each value by the zone's UTC offset at
@@ -452,13 +455,79 @@ def _tz_to_utc_ns(decoded_ns: np.ndarray, tz_name: str) -> np.ndarray:
     from zoneinfo import ZoneInfo
     tz = ZoneInfo(tz_name)
     base = _writer_tz_base_seconds(tz_name)
-    ts = decoded_ns + np.int64(base - _ORC_EPOCH_UTC) * np.int64(1_000_000_000)
-    secs = ts // np.int64(1_000_000_000)
+    secs = seconds + np.int64(base - _ORC_EPOCH_UTC)
     uniq, inv = np.unique(secs, return_inverse=True)
     offs = np.array(
         [int(datetime.fromtimestamp(int(s), timezone.utc).astimezone(tz)
              .utcoffset().total_seconds()) for s in uniq], dtype=np.int64)
-    return ts + offs[inv] * np.int64(1_000_000_000)
+    return secs + offs[inv]
+
+
+# requested unit -> nanoseconds per unit (`src/encoding/timestamp.rs:161-166`)
+_TS_DIVISORS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+TS_PRECISIONS = ("ns", "us", "ms", "s", "decimal")
+
+
+def _timestamp_array(seconds: np.ndarray, nanos: np.ndarray, unit: str,
+                     validity, n: int) -> pa.Array:
+    """(seconds, nanos) -> Arrow timestamp array at the requested unit,
+    with the reference's conversion policy (`src/encoding/
+    timestamp.rs:153-197`): precision loss is an ERROR, not a silent
+    truncation; int64 overflow at the requested unit is an ERROR; and
+    unit='decimal' yields the lossless Decimal128(38, 9)
+    seconds.nanoseconds representation
+    (`src/array_decoder/timestamp.rs:149-192`,
+    TimestampNanosecondAsDecimalDecoder)."""
+    n_valid = len(seconds)
+    if unit == "decimal":
+        in_i64_ns = n_valid == 0 or (
+            int(seconds.min()) >= -9_223_372_035
+            and int(seconds.max()) <= 9_223_372_035)
+        if in_i64_ns:
+            ns = seconds * np.int64(1_000_000_000) + nanos
+            storage = np.empty((n_valid, 2), dtype=np.int64)
+            storage[:, 0] = ns
+            storage[:, 1] = ns >> np.int64(63)
+            raw16 = storage.tobytes()
+        else:
+            # beyond ±292 years: exact int128 mantissas (the whole
+            # point of the decimal representation)
+            raw16 = b"".join(
+                (int(s) * 10 ** 9 + int(nn)).to_bytes(16, "little",
+                                                      signed=True)
+                for s, nn in zip(seconds.tolist(), nanos.tolist()))
+        arr = pa.Array.from_buffers(pa.decimal128(38, 9), n_valid,
+                                    [None, pa.py_buffer(raw16)])
+        if validity is None:
+            return arr
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[validity] = np.arange(n_valid, dtype=np.int64)
+        return arr.take(pa.array(idx, pa.int64(), mask=~validity))
+    div = _TS_DIVISORS[unit]
+    if div > 1 and n_valid:
+        rem = nanos % np.int64(div)
+        if int(rem.max()) != 0:
+            bad = int(np.argmax(rem != 0))
+            raise ValueError(
+                f"timestamp {int(seconds[bad])}s+{int(nanos[bad])}ns "
+                f"loses precision at unit '{unit}'; read with "
+                f"timestamp_precision='ns' (or 'decimal' for the "
+                f"Decimal128(38,9) seconds.nanos representation)")
+    mult = 1_000_000_000 // div
+    if n_valid:
+        # exact overflow check at the extremes (values are monotonic in
+        # seconds because 0 <= nanos < mult * div)
+        smax, smin = int(seconds.max()), int(seconds.min())
+        hi = smax * mult + int(nanos[seconds == smax].max()) // div
+        lo = smin * mult + int(nanos[seconds == smin].min()) // div
+        if hi > 2 ** 63 - 1 or lo < -(2 ** 63):
+            raise ValueError(
+                f"timestamp overflows int64 at unit '{unit}'; use a "
+                f"coarser timestamp_precision or 'decimal' "
+                f"(Decimal128(38,9) seconds.nanos)")
+    vals = seconds * np.int64(mult) + nanos // np.int64(div)
+    v, m = _respace(vals, validity, n)
+    return pa.array(v, pa.int64(), mask=m).cast(pa.timestamp(unit))
 
 
 def _ints(buf, n: int, enc: int, signed: bool) -> np.ndarray:
@@ -500,7 +569,8 @@ def _respace(vals: np.ndarray, validity, n: int) -> tuple[np.ndarray, np.ndarray
 
 
 def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
-                   writer_tz: str | None = None) -> pa.Array:
+                   writer_tz: str | None = None,
+                   ts_unit: str = "ns") -> pa.Array:
     t = meta.types[cid]
     kind = t["kind"]
     enc, dict_size = encodings.get(cid, (ENC_DIRECT, 0))
@@ -520,7 +590,8 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
     if kind == TK_STRUCT:
         children, names = [], []
         for sub, fname in zip(t["subtypes"], t["field_names"]):
-            children.append(_decode_column(sub, meta, streams, encodings, n_valid, writer_tz))
+            children.append(_decode_column(sub, meta, streams, encodings,
+                                           n_valid, writer_tz, ts_unit))
             names.append(fname)
         st = pa.StructArray.from_arrays(children, names)
         if validity is None:
@@ -542,10 +613,13 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
             mask = pa.array(~validity)
         poff = pa.array(offsets.astype(np.int32), pa.int32())
         if kind == TK_LIST:
-            child = _decode_column(t["subtypes"][0], meta, streams, encodings, total, writer_tz)
+            child = _decode_column(t["subtypes"][0], meta, streams,
+                                   encodings, total, writer_tz, ts_unit)
             return pa.ListArray.from_arrays(poff, child, mask=mask)
-        keys = _decode_column(t["subtypes"][0], meta, streams, encodings, total, writer_tz)
-        vals = _decode_column(t["subtypes"][1], meta, streams, encodings, total, writer_tz)
+        keys = _decode_column(t["subtypes"][0], meta, streams, encodings,
+                              total, writer_tz, ts_unit)
+        vals = _decode_column(t["subtypes"][1], meta, streams, encodings,
+                              total, writer_tz, ts_unit)
         arr = pa.MapArray.from_arrays(poff, keys, vals)
         if mask is not None:
             idx = np.arange(n, dtype=np.int64)
@@ -673,7 +747,7 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
                 sel = sel & validity
             cnt = int(sel.sum())
             dense = _decode_column(sub, meta, streams, encodings, cnt,
-                                   writer_tz)
+                                   writer_tz, ts_unit)
             idx = np.full(n, -1, dtype=np.int64)
             idx[sel] = np.arange(cnt, dtype=np.int64)
             children.append(dense.take(pa.array(idx, pa.int64(),
@@ -684,45 +758,47 @@ def _decode_column(cid: int, meta: OrcMeta, streams, encodings, n: int,
         tol = isinstance(d_raw, ValueSpan) or isinstance(s_raw, ValueSpan)
         dbuf, dskip = unwrap_span(d_raw)
         sbuf, sskip = unwrap_span(s_raw)
-        ns = timestamp_decode(dbuf, sbuf, n_valid,
-                              rle_version=2 if enc in (ENC_DIRECT_V2,
-                                                       ENC_DICT_V2) else 1,
-                              skip_data=dskip, skip_secondary=sskip,
-                              exact=not tol)
+        secs, nanos = timestamp_decode_parts(
+            dbuf, sbuf, n_valid,
+            rle_version=2 if enc in (ENC_DIRECT_V2, ENC_DICT_V2) else 1,
+            skip_data=dskip, skip_secondary=sskip, exact=not tol)
         if kind == TK_TIMESTAMP and writer_tz is not None:
-            ns = _tz_to_utc_ns(ns, writer_tz)
-        v, m = _respace(ns, validity, n)
-        return pa.array(v, pa.int64(), mask=m).cast(pa.timestamp("ns"))
+            secs = _tz_to_utc_seconds(secs, writer_tz)
+        return _timestamp_array(secs, nanos, ts_unit, validity, n)
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
 
 
-def _arrow_type_of(meta: OrcMeta, cid: int) -> pa.DataType:
+def _arrow_type_of(meta: OrcMeta, cid: int,
+                   ts_unit: str = "ns") -> pa.DataType:
     """Arrow type of a column from the footer type tree alone — lets
     callers get schemas (and typed empty results) at tail-parse cost,
-    without decoding any stripe."""
+    without decoding any stripe.  `ts_unit` mirrors the decoder's
+    timestamp representation ('ns'|'us'|'ms'|'s'|'decimal')."""
     t = meta.types[cid]
     kind = t["kind"]
+    ts_type = pa.decimal128(38, 9) if ts_unit == "decimal" \
+        else pa.timestamp(ts_unit)
     scalar = {TK_BOOL: pa.bool_(), TK_BYTE: pa.int8(), TK_SHORT: pa.int16(),
               TK_INT: pa.int32(), TK_LONG: pa.int64(), TK_FLOAT: pa.float32(),
               TK_DOUBLE: pa.float64(), TK_STRING: pa.string(),
               TK_VARCHAR: pa.string(), TK_CHAR: pa.string(),
               TK_BINARY: pa.binary(), TK_DATE: pa.date32(),
-              TK_TIMESTAMP: pa.timestamp("ns"),
-              TK_TIMESTAMP_INSTANT: pa.timestamp("ns")}
+              TK_TIMESTAMP: ts_type,
+              TK_TIMESTAMP_INSTANT: ts_type}
     if kind in scalar:
         return scalar[kind]
     if kind == TK_DECIMAL:
         return pa.decimal128(*_decimal_ps(t))
     if kind == TK_LIST:
-        return pa.list_(_arrow_type_of(meta, t["subtypes"][0]))
+        return pa.list_(_arrow_type_of(meta, t["subtypes"][0], ts_unit))
     if kind == TK_MAP:
-        return pa.map_(_arrow_type_of(meta, t["subtypes"][0]),
-                       _arrow_type_of(meta, t["subtypes"][1]))
+        return pa.map_(_arrow_type_of(meta, t["subtypes"][0], ts_unit),
+                       _arrow_type_of(meta, t["subtypes"][1], ts_unit))
     if kind == TK_STRUCT:
-        return pa.struct([(nm, _arrow_type_of(meta, sub))
+        return pa.struct([(nm, _arrow_type_of(meta, sub, ts_unit))
                           for nm, sub in zip(t["field_names"], t["subtypes"])])
     if kind == TK_UNION:
-        return pa.union([pa.field(str(i), _arrow_type_of(meta, sub))
+        return pa.union([pa.field(str(i), _arrow_type_of(meta, sub, ts_unit))
                          for i, sub in enumerate(t["subtypes"])],
                         mode="sparse")
     raise TypeError(f"unsupported ORC type kind {kind} (column {cid})")
@@ -743,19 +819,69 @@ def _root_fields(meta: OrcMeta) -> tuple[list[str], list[int]]:
 
 
 def arrow_schema(meta: OrcMeta,
-                 columns: list[str] | None = None) -> pa.Schema:
+                 columns: list[str] | None = None,
+                 timestamp_precision: str = "ns") -> pa.Schema:
     """Schema of the file's root struct from metadata only."""
     names, cids = _root_fields(meta)
     return pa.schema([
-        pa.field(nm, _arrow_type_of(meta, cid))
+        pa.field(nm, _arrow_type_of(meta, cid, timestamp_precision))
         for nm, cid in zip(names, cids)
         if columns is None or nm in columns])
+
+
+def _ts_unit_map(meta: OrcMeta, want_cids: list[int],
+                 schema: pa.Schema | None, default: str) -> dict[int, str]:
+    """Per-column timestamp representation for the PROJECTED columns:
+    `timestamp_precision` for every timestamp column, overridden per
+    column by a requested `schema` whose field (matched POSITIONALLY,
+    like the reference's with_schema, which replaces the derived
+    schema wholesale) is a timestamp (its unit) or Decimal128(38,9)
+    (the reference's nanoseconds-as-decimal representation)."""
+    if default not in TS_PRECISIONS:
+        raise ValueError(
+            f"timestamp_precision must be one of {TS_PRECISIONS}, "
+            f"got {default!r}")
+    units: dict[int, str] = {}
+    for cid in want_cids:
+        if meta.types[cid]["kind"] in (TK_TIMESTAMP, TK_TIMESTAMP_INSTANT):
+            units[cid] = default
+    if schema is not None:
+        if len(schema) != len(want_cids):
+            raise ValueError(
+                f"requested schema has {len(schema)} fields, the "
+                f"projection has {len(want_cids)} columns (with_schema "
+                f"replaces the derived schema positionally)")
+        for f, cid in zip(schema, want_cids):
+            if cid not in units:
+                continue
+            if pa.types.is_timestamp(f.type):
+                units[cid] = f.type.unit
+            elif (pa.types.is_decimal(f.type) and f.type.precision == 38
+                  and f.type.scale == 9):
+                units[cid] = "decimal"
+    return units
+
+
+def _finalize_table(tbl: pa.Table, schema: pa.Schema | None) -> pa.Table:
+    """`with_schema` coercion (`src/arrow_reader.rs:80-83`): the
+    requested schema replaces the derived one POSITIONALLY (renames
+    included) and remaining type differences cast safely — lossy
+    coercions raise, the MismatchedSchema-error analog."""
+    if schema is None:
+        return tbl
+    if len(schema) != tbl.num_columns:
+        raise ValueError(
+            f"requested schema has {len(schema)} fields, result has "
+            f"{tbl.num_columns} columns")
+    return tbl.rename_columns(schema.names).cast(schema)
 
 
 def read_orc(path: str, columns: list[str] | None = None,
              predicate: dict[str, tuple] | None = None,
              stripe_indices: list[int] | None = None,
              row_selection=None,
+             schema: pa.Schema | None = None,
+             timestamp_precision: str = "ns",
              _stats: dict | None = None) -> pa.Table:
     """Decode a real ORC file to an Arrow table using the engine kernels.
 
@@ -782,13 +908,32 @@ def read_orc(path: str, columns: list[str] | None = None,
     `stripe_indices` restricts the decode to a subset of stripes — the
     byte-range split unit (`src/arrow_reader.rs:357-372`): N tasks can
     share one big file by each taking a disjoint stripe subset; only the
-    covering byte range of the selected stripes is read from disk."""
+    covering byte range of the selected stripes is read from disk.
+
+    `timestamp_precision` is the reference's `with_timestamp_precision`
+    (`src/arrow_reader.rs:118-135`, `src/schema.rs:31-38`, generalized
+    to every unit its decoder dispatches on): 'ns' (default) | 'us' |
+    'ms' | 's' | 'decimal' (the lossless Decimal128(38,9)
+    seconds.nanoseconds representation,
+    `src/array_decoder/timestamp.rs:149-192`).  Conversion follows the
+    reference policy (`src/encoding/timestamp.rs:153-192`): precision
+    loss and int64 overflow at the requested unit are ERRORS, never
+    silent truncation.
+
+    `schema` is the reference's `with_schema`
+    (`src/arrow_reader.rs:80-83`): a target Arrow schema the result is
+    coerced to.  Timestamp (and Decimal128(38,9)) fields drive the
+    DECODER's unit directly — sub-unit values error rather than
+    truncate — and remaining fields are cast safely (lossy coercions
+    raise)."""
     meta = read_metadata(path)
     if stripe_indices is not None:
         sel = [meta.stripes[i] for i in sorted(set(stripe_indices))
                if 0 <= i < len(meta.stripes)]
         if not sel:
-            return arrow_schema(meta, columns).empty_table()
+            return _finalize_table(
+                arrow_schema(meta, columns, timestamp_precision)
+                .empty_table(), schema)
         lo = min(s["offset"] for s in sel)
         hi = max(s["offset"] + s["index_length"] + s["data_length"]
                  + s["footer_length"] for s in sel)
@@ -801,6 +946,8 @@ def read_orc(path: str, columns: list[str] | None = None,
     names, root_cids = _root_fields(meta)
     want = [i for i, nm in enumerate(names)
             if columns is None or nm in columns]
+    ts_units = _ts_unit_map(meta, [root_cids[i] for i in want], schema,
+                            timestamp_precision)
     pred = None
     # column id of a root child is its subtype index
     col_to_cid = {nm: root_cids[i] for i, nm in enumerate(names)}
@@ -851,7 +998,7 @@ def read_orc(path: str, columns: list[str] | None = None,
             spans, encodings, writer_tz = _stripe_layout(data, meta, si)
             got = _decode_row_groups(data, meta, spans, encodings, writer_tz,
                                      si, pred, col_to_cid, want_cids,
-                                     out_names, _stats, ssel)
+                                     out_names, _stats, ssel, ts_units)
             if got is not None:
                 batches.extend(got)
                 continue
@@ -860,8 +1007,9 @@ def read_orc(path: str, columns: list[str] | None = None,
             streams, encodings, writer_tz = _stripe_streams(data, meta, si)
         if _stats is not None:
             _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + n
-        cols = [_decode_column(cid, meta, streams,
-                               encodings, n, writer_tz) for cid in want_cids]
+        cols = [_decode_column(cid, meta, streams, encodings, n, writer_tz,
+                               ts_units.get(cid, "ns"))
+                for cid in want_cids]
         tb = pa.table(cols, names=out_names)
         if sel_has_skips:
             tb = tb.filter(pa.array(ssel.mask(n)))
@@ -869,8 +1017,10 @@ def read_orc(path: str, columns: list[str] | None = None,
     if not batches:
         # typed empty result (null-typed columns would poison downstream
         # concat/cast when one file of a set happens to be fully pruned)
-        return arrow_schema(meta, columns).empty_table()
-    return pa.concat_tables(batches)
+        return _finalize_table(
+            arrow_schema(meta, columns, timestamp_precision)
+            .empty_table(), schema)
+    return _finalize_table(pa.concat_tables(batches), schema)
 
 
 def stripes_matching(meta: OrcMeta, predicate) -> list[int]:
@@ -912,7 +1062,7 @@ def _subtree_cids(meta: OrcMeta, cid: int) -> list[int]:
 
 def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
                        pred, col_to_cid, want_cids, out_names, _stats,
-                       ssel=None):
+                       ssel=None, ts_units=None):
     """Row-group-selective decode of one stripe.  Returns a list of
     tables (possibly empty = all groups pruned) or None to signal
     fallback to whole-stripe decode (no usable index for a needed
@@ -1170,7 +1320,9 @@ def _decode_row_groups(data, meta, spans, encodings, writer_tz, si,
         if _stats is not None:
             _stats["rows_decoded"] = _stats.get("rows_decoded", 0) + dec_n
         cols = [_decode_column(cid, meta, streams, encodings, dec_n,
-                               writer_tz) for cid in want_cids]
+                               writer_tz,
+                               (ts_units or {}).get(cid, "ns"))
+                for cid in want_cids]
         tb = pa.table(cols, names=out_names)
         if gsel is not None and gsel.skipped_row_count():
             m = gsel.mask(rows_g)[lead_rows: rows_g - tail_rows]

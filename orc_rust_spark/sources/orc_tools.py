@@ -2,11 +2,13 @@
 `orc-metadata.rs` and `orc-stats.rs` analogs:
 
     python -m orc_rust_spark.sources.orc_tools export FILE [-o OUT]
-        [-f csv|json] [-n N] [-c col1,col2]
+        [-f csv|json|feather] [-n N] [-c col1,col2]
     python -m orc_rust_spark.sources.orc_tools metadata FILE [-s]
     python -m orc_rust_spark.sources.orc_tools stats FILE
 
-Export streams the decoded table as CSV or line-delimited JSON;
+Export streams the decoded table as CSV, line-delimited JSON, or
+Arrow feather (the reference CLI's second format,
+`src/bin/orc-export.rs:80`);
 metadata prints the tail summary (rows, stripes, schema, and with -s
 per-stripe rows/offsets/writer timezone); stats prints per-column
 min/max/value counts aggregated from the Metadata statistics section.
@@ -120,6 +122,14 @@ def cmd_export(args) -> int:
     tbl = read_orc(args.file, columns=columns)
     if args.num_rows is not None:
         tbl = tbl.slice(0, args.num_rows)
+    if args.format == "feather":
+        # binary format: requires -o (the reference CLI writes feather
+        # to its output file too, `src/bin/orc-export.rs:80`)
+        if not args.output_file:
+            raise SystemExit("feather output requires -o OUTPUT_FILE")
+        import pyarrow.feather as pafeather
+        pafeather.write_feather(tbl, args.output_file)
+        return 0
     sink = open(args.output_file, "w") if args.output_file else args.out
     try:
         if args.format == "json":
@@ -143,7 +153,8 @@ def main(argv=None, out=None) -> int:
     p = sub.add_parser("export", help="export an ORC file to csv/json")
     p.add_argument("file")
     p.add_argument("-o", "--output-file")
-    p.add_argument("-f", "--format", choices=["csv", "json"], default="csv")
+    p.add_argument("-f", "--format", choices=["csv", "json", "feather"],
+                   default="csv")
     p.add_argument("-n", "--num-rows", type=int)
     p.add_argument("-c", "--columns")
     p.set_defaults(fn=cmd_export)

@@ -99,3 +99,30 @@ def test_corrupt_orc_raises_cleanly(tmp_path, orc_file):
         assert not t.equals(orig)
     except Exception:
         pass
+
+
+def test_export_feather_roundtrip(orc_file, tmp_path):
+    """`export -f feather` parity with the reference CLI's feather
+    output (`src/bin/orc-export.rs:80`): the written file reads back
+    value-identical through pyarrow's independent feather reader."""
+    import pyarrow.feather as pafeather
+    from orc_rust_spark.sources.orc_reader import read_orc
+
+    out = str(tmp_path / "t.feather")
+    assert main(["export", orc_file, "-f", "feather", "-o", out]) == 0
+    got = pafeather.read_table(out)
+    want = read_orc(orc_file)
+    assert got.equals(want)
+
+    # projected + row-limited export round-trips too
+    out2 = str(tmp_path / "t2.feather")
+    assert main(["export", orc_file, "-f", "feather", "-o", out2,
+                 "-n", "10", "-c", "k"]) == 0
+    got2 = pafeather.read_table(out2)
+    assert got2.column_names == ["k"]
+    assert got2.num_rows == 10
+
+    # binary format without -o is a clean error, not garbage on stdout
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["export", orc_file, "-f", "feather"])
