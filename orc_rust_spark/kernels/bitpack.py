@@ -136,7 +136,8 @@ def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
         np.cumsum((groups[:-1] * 8).astype(it), out=pstart[1:])
         starts = np.zeros(K, dtype=it)
         np.cumsum(lens[:-1].astype(it), out=starts[1:])
-        tgt = np.arange(n, dtype=it) + np.repeat(pstart - starts, lens)
+        tgt = np.repeat(pstart - starts, lens)
+        tgt += iota32(n) if it is np.int32 else np.arange(n, dtype=it)
         pv[tgt] = v  # upcasts u32 -> u64 in one pass
     gm = pv.reshape(-1, 8)
     if width <= 8:
@@ -167,16 +168,29 @@ def _pack_groups8(v: np.ndarray, lens: np.ndarray, width: int,
         return gbytes.tobytes()
     # per-segment truncation: padded groups emit ceil(lens/8)*w bytes,
     # the true segment payload is ceil(lens*w/8) — drop the zero tail
+    return _take_true_bytes(gbytes, groups, width, offs).tobytes()
+
+
+
+def _take_true_bytes(gbytes: np.ndarray, groups: np.ndarray, width: int,
+                     offs: np.ndarray) -> np.ndarray:
+    """Per-segment truncation of group-padded pack output: padded groups
+    emit ceil(lens/8)*w bytes, the true segment payload is
+    ceil(lens*w/8) — gather exactly those bytes (repeat + cached iota +
+    one fancy read), replacing the boolean-mask compaction (full
+    padded-length compare pass + mask scan)."""
+    K = len(groups)
     pad_bytes = groups * width
     true_bytes = np.diff(offs)
     total_pad = int(pad_bytes.sum())
+    total_true = int(true_bytes.sum())
     bt = np.int32 if total_pad < 2**31 else np.int64
     bstarts = np.zeros(K, dtype=bt)
     np.cumsum(pad_bytes[:-1].astype(bt), out=bstarts[1:])
-    # arange < repeat(bstarts + true_bytes): one repeat, one compare
-    keep = (np.arange(total_pad, dtype=bt)
-            < np.repeat(bstarts + true_bytes.astype(bt), pad_bytes))
-    return gbytes.reshape(-1)[keep].tobytes()
+    idx = np.repeat(bstarts - offs[:-1].astype(bt), true_bytes)
+    idx += iota32(total_true) if bt is np.int32 \
+        else np.arange(total_true, dtype=bt)
+    return gbytes.reshape(-1)[idx]
 
 
 def unpack_ints_segmented(raw: np.ndarray, lens: np.ndarray,
@@ -372,7 +386,8 @@ def _pack_groups4(v: np.ndarray, lens: np.ndarray, width: int,
         np.cumsum((groups[:-1] * 8).astype(it), out=pstart[1:])
         starts = np.zeros(K, dtype=it)
         np.cumsum(lens[:-1].astype(it), out=starts[1:])
-        tgt = np.arange(n, dtype=it) + np.repeat(pstart - starts, lens)
+        tgt = np.repeat(pstart - starts, lens)
+        tgt += iota32(n) if it is np.int32 else np.arange(n, dtype=it)
         pv[tgt] = v
     gm = pv.reshape(-1, 8)
     nw = (width + 3) // 4
@@ -392,15 +407,7 @@ def _pack_groups4(v: np.ndarray, lens: np.ndarray, width: int,
         gbytes[:, j * 4: j * 4 + take] = bj[:, :take]
     if aligned_lens:
         return gbytes.tobytes()
-    pad_bytes = groups * width
-    true_bytes = np.diff(offs)
-    total_pad = int(pad_bytes.sum())
-    bt = np.int32 if total_pad < 2**31 else np.int64
-    bstarts = np.zeros(K, dtype=bt)
-    np.cumsum(pad_bytes[:-1].astype(bt), out=bstarts[1:])
-    keep = (np.arange(total_pad, dtype=bt)
-            < np.repeat(bstarts + true_bytes.astype(bt), pad_bytes))
-    return gbytes.reshape(-1)[keep].tobytes()
+    return _take_true_bytes(gbytes, groups, width, offs).tobytes()
 
 
 def packed_byte_len(n: int, width: int) -> int:
