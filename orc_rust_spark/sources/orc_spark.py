@@ -63,7 +63,8 @@ def read_orc_spark(spark: SparkSession, path: str,
                    columns: list[str] | None = None,
                    predicate: dict[str, tuple] | None = None,
                    split_bytes: int = 32 << 20,
-                   row_selection=None) -> DataFrame:
+                   row_selection=None,
+                   timestamp_precision: str = "us") -> DataFrame:
     """Distributed read of a dir of `.orc` files (or a single file).
 
     `columns` projects into the stripes (unread columns' streams are
@@ -80,6 +81,14 @@ def read_orc_spark(spark: SparkSession, path: str,
     touching their bytes.  The result contains exactly the selected
     rows.
 
+    `timestamp_precision` ('us' default — Spark's timestamp domain —
+    or 'ms'|'s'|'decimal' = lossless Decimal128(38,9) seconds.nanos,
+    the reference's `with_timestamp_precision` surface): sub-unit
+    values written by foreign writers ERROR with a clear message
+    instead of silently truncating (`src/encoding/timestamp.rs:170-177`
+    policy); far-past/future instants that overflow int64 µs read
+    exactly via 'decimal'.
+
     Tasks are (file, stripe subset) byte-range splits of ~`split_bytes`
     (`src/arrow_reader.rs:357-372`): one big multi-stripe file fans out
     to many tasks instead of capping parallelism at the file count.
@@ -89,7 +98,14 @@ def read_orc_spark(spark: SparkSession, path: str,
         if os.path.isdir(path) else [path]
     if not files:
         raise ValueError(f"no .orc files under {path}")
-    probe_schema = arrow_schema(read_metadata(files[0]), columns)
+    if timestamp_precision not in ("us", "ms", "s", "decimal"):
+        raise ValueError(
+            "timestamp_precision must be one of ('us', 'ms', 's', "
+            f"'decimal') on the Spark surface, got {timestamp_precision!r}"
+            " (Spark has no nanosecond timestamp type; 'decimal' is the"
+            " lossless representation)")
+    probe_schema = arrow_schema(read_metadata(files[0]), columns,
+                                timestamp_precision)
     out_schema = spark_schema_for(_normalize_schema(probe_schema))
 
     sel_rest = None
@@ -159,10 +175,10 @@ def read_orc_spark(spark: SparkSession, path: str,
                 sel = RowSelection([RowSelector(n, k)
                                     for n, k in zip(cnts, skips)]) \
                     if cnts is not None else None
-                tbl = _normalize(read_orc(f, columns=columns,
-                                          predicate=predicate,
-                                          stripe_indices=ids,
-                                          row_selection=sel))
+                tbl = _normalize(read_orc(
+                    f, columns=columns, predicate=predicate,
+                    stripe_indices=ids, row_selection=sel,
+                    timestamp_precision=timestamp_precision))
                 yield from tbl.to_batches()
 
     return plan.mapInArrow(scan, out_schema)

@@ -133,3 +133,42 @@ def test_with_schema_positional_semantics():
         read_orc(OVERFLOW, schema=pa.schema([pa.field("x", pa.int8())]))
     with pytest.raises(ValueError, match="timestamp_precision"):
         read_orc(OVERFLOW, timestamp_precision="fortnights")
+
+
+def test_read_orc_spark_timestamp_precision(tmp_path):
+    """The distributed source's precision surface: whole-us foreign
+    timestamps read at the 'us' default; sub-us values ERROR with the
+    clear precision message instead of an opaque Arrow cast failure;
+    'decimal' reads them losslessly as DecimalType(38,9)."""
+    import pytest
+    from pyspark.sql import SparkSession
+    from orc_rust_spark.sources.orc_spark import read_orc_spark
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+    d = tmp_path / "ts"
+    d.mkdir()
+    vals = pa.array([1_000_000_001, 42_000, None], pa.timestamp("ns"))
+    po.write_table(pa.table({"t": vals}), str(d / "a.orc"))
+
+    with pytest.raises(ValueError, match="us|ms|decimal"):
+        read_orc_spark(spark, str(d), timestamp_precision="fortnights")
+    with pytest.raises(Exception, match="precision"):
+        read_orc_spark(spark, str(d)).collect()
+
+    rows = read_orc_spark(spark, str(d),
+                          timestamp_precision="decimal") \
+        .orderBy("t").collect()
+    got = [None if r["t"] is None else str(r["t"]) for r in rows]
+    assert got == [None, "0.000042000", "1.000000001"]
+
+    # whole-us values at the default
+    d2 = tmp_path / "ts2"
+    d2.mkdir()
+    po.write_table(pa.table({"t": pa.array([1_000_000, 2_000_000],
+                                           pa.timestamp("ns"))}),
+                   str(d2 / "a.orc"))
+    got2 = sorted(r["t"].isoformat()
+                  for r in read_orc_spark(spark, str(d2)).collect())
+    assert got2 == ["1970-01-01T00:00:00.001000",
+                    "1970-01-01T00:00:00.002000"]
