@@ -51,7 +51,12 @@ N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "240000"))
 CODEC_ONLY = os.environ.get("SPARK_GRAFT_CODEC_ONLY") == "1"
 CORPUS_DIR = os.environ.get(
     "SPARK_GRAFT_CORPUS_DIR", f"/tmp/tokencoder_corpus_{N_SYNTH_DOCS}")
-EXT_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_EXT_LOAD_MAX", "2.0"))
+# a 1-core pinned point is measurably distorted well below 2 external
+# cores (BASELINE.md round-5: 1-core decode reps at ext 0.2-1.4 read
+# 37-47% slower than ext<=0.03 reps in the same hour) — tighten the
+# threshold when the run itself is small
+_DEF_EXT = "0.5" if CPUS <= 2 else "2.0"
+EXT_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_EXT_LOAD_MAX", _DEF_EXT))
 RETRY_BUDGET = int(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "8"))
 
 
