@@ -114,6 +114,10 @@ def main() -> None:
         return out
 
     # --- fused scan+encode and decode: the GB/s measurements -------------
+    # NOTE: the plan must be rebuilt per rep.  Re-collecting one
+    # DataFrame object reuses its RDD lineage's shuffle map outputs, so
+    # reps 2..n would measure only the final post-shuffle stage (0.1 s
+    # for a 2 s job — verified) — min-of-3 would be fiction.
     timed("encode_synthetic",
           lambda: scan_encode_parquet(spark, CORPUS_DIR, stripe_tokens=1 << 21)
           .agg(F.sum("output_bytes")).collect(), reps=3)
