@@ -60,7 +60,10 @@ def decode_pass(stripes: DataFrame, out_schema: T.StructType,
         for batch in batches:
             col = batch.column("blob")
             for i in range(batch.num_rows):
-                blob = col[i].as_py()
+                # zero-copy view into the Arrow data buffer: .as_py()
+                # duplicated every compressed stripe (~1 MB each, the
+                # whole scan's input bytes) before decode even started
+                blob = col[i].as_buffer()
                 yield decode_stripe(blob, columns=columns)
 
     return blob_df.mapInArrow(decode_partition, out_schema)
