@@ -90,7 +90,7 @@ def decode_relation(stripes: DataFrame, out_schema: T.StructType,
         for batch in batches:
             col = batch.column("blob")
             for i in range(batch.num_rows):
-                yield decode_stripe(col[i].as_py(), columns=columns)
+                yield decode_stripe(col[i].as_buffer(), columns=columns)
 
     return blob_df.mapInArrow(decode_partition, out_schema)
 

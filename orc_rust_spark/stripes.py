@@ -66,10 +66,17 @@ def wrap_compressed(blob: bytes, kind: int) -> bytes:
     return MAGIC_COMPRESSED + bytes([kind]) + compress_stream(blob, kind)
 
 
-def unwrap_compressed(blob) -> bytes:
+def unwrap_compressed(blob):
     buf = memoryview(blob)
+    # pa.Buffer memoryviews are signed ('b'): byte reads >= 128 would
+    # come back negative in every varint/header parse downstream.
+    # Normalize ONCE here — slices of an unsigned view stay unsigned,
+    # and zero-copy callers (decode_pass hands the Arrow data buffer
+    # straight in) rely on it.
+    if buf.format != "B":
+        buf = buf.cast("B")
     if bytes(buf[:4]) != MAGIC_COMPRESSED:
-        return blob
+        return buf
     from .kernels.compression import decompress_stream
     return decompress_stream(buf[5:], buf[4])
 
@@ -936,6 +943,8 @@ def decode_stripe_rowgroups(blob, columns: list[str] | None = None,
     cannot intersect are skipped WITHOUT touching their bytes — the
     `evaluate_predicate` -> skip path of `src/row_group_filter.rs`."""
     buf = memoryview(blob)
+    if buf.format != "B":  # pa.Buffer views are signed; see unwrap_compressed
+        buf = buf.cast("B")
     if bytes(buf[:4]) != MAGIC_ROWGROUP:
         raise ValueError("bad row-group stripe magic")
     metas, stat_types = _rowgroup_meta(buf)
