@@ -118,9 +118,15 @@ def main() -> None:
     # DataFrame object reuses its RDD lineage's shuffle map outputs, so
     # reps 2..n would measure only the final post-shuffle stage (0.1 s
     # for a 2 s job — verified) — min-of-3 would be fiction.
+    # multi-core codec points swing up to 3x rep-to-rep at ~0 measured
+    # external CPU (shared-host DRAM neighbors are invisible to jiffy
+    # accounting; BASELINE.md round-5 w7/w8 records) while the 1-core
+    # points hold to ±3%: spend the extra draws where the variance is.
+    # Every rep is recorded in rep_detail either way.
+    codec_reps = 3 if CPUS == 1 else 6
     timed("encode_synthetic",
           lambda: scan_encode_parquet(spark, CORPUS_DIR, stripe_tokens=1 << 21)
-          .agg(F.sum("output_bytes")).collect(), reps=3)
+          .agg(F.sum("output_bytes")).collect(), reps=codec_reps)
     # different budget => different plan, defeats accidental cache reuse
     stripes = scan_encode_parquet(spark, CORPUS_DIR,
                                   stripe_tokens=(1 << 21) + 1).persist()
@@ -137,7 +143,7 @@ def main() -> None:
     decoded_tokens = timed(
         "decode_synthetic",
         lambda: decode_pass(stripes, TOKEN_SCHEMA).agg(F.sum("n_tok")).collect()[0][0],
-        reps=3)
+        reps=codec_reps)
     assert int(decoded_tokens) == int(n_tokens), "decode token-count mismatch"
     extra["decode_GBps"] = round(input_bytes / timings["decode_synthetic"] / 1e9, 3)
     stripes.unpersist()
